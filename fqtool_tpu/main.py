@@ -1,0 +1,53 @@
+"""Program entry point.
+
+Mirrors the reference startup sequence (reference: src/main.cpp:7-147):
+CLI parse -> options update/validate -> evaluation pre-passes (read length,
+read number, split sizing, ORS, PE adapter detection) -> SE/PE processing.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+from .config.cli import parse_args
+from .config.options import Options
+from .host import evaluator
+from .pipeline.runner import SingleEndRunner, loginfo
+
+
+def run(opt: Options) -> None:
+    # evaluation pre-passes (main.cpp:128-143)
+    evaluator.evaluate_read_len(opt)
+    evaluator.evaluate_read_num(opt)
+    if opt.split.by_file_number:
+        opt.split.size = max(opt.est.reads_num // max(opt.split.number, 1), 1)
+        loginfo(f"total reds: {opt.est.reads_num} split size: {opt.split.size}")
+    if opt.over_rep.enabled:
+        evaluator.evaluate_over_rep_seqs(opt)
+    if opt.adapter.enable_detect_for_pe:
+        evaluator.evaluate_adapter_seq(opt, False)
+        evaluator.evaluate_adapter_seq(opt, True)
+
+    # SE/PE dispatch (processor.cpp:10-19)
+    if opt.is_paired():
+        from .pipeline.pe_runner import PairEndRunner
+        PairEndRunner(opt).run()
+    else:
+        SingleEndRunner(opt).run()
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    from .config.options import OptionError
+    try:
+        opt = parse_args(argv)
+    except OptionError as e:
+        # reference: util::errorExit prints and exits -1 (util.h:303-306)
+        sys.stderr.write(f"error: {e}\n")
+        return 255
+    run(opt)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

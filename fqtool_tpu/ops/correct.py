@@ -1,0 +1,81 @@
+"""Overlap-based base correction.
+
+Vectorized port of ``BaseCorrector::correctByOverlapAnalysis``
+(reference: src/basecorrector.cpp:14-70): within the overlap, a mismatching
+base pair where one side is >= Q30 and the other <= Q14 is overwritten with
+the complemented high-quality base.  Implemented scatter-free: each read's
+correction mask is computed directly in its own coordinate space via the
+involution p2 = (start1 + start2) - p1.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .common import complement, positions
+
+GOOD_QUAL = 30 + 33  # util::num2qual(30), basecorrector.cpp:27
+BAD_QUAL = 14 + 33   # util::num2qual(14), basecorrector.cpp:28
+
+
+class CorrectResult(NamedTuple):
+    seq1: jnp.ndarray
+    qual1: jnp.ndarray
+    seq2: jnp.ndarray
+    qual2: jnp.ndarray
+    corrected1: jnp.ndarray   # int32 [B] corrected bases in read1
+    corrected2: jnp.ndarray   # int32 [B] corrected bases in read2
+    matrix: jnp.ndarray       # int32 [64] correction from->to histogram
+
+
+def correct_by_overlap(seq1, qual1, rlen1, seq2, qual2, rlen2, ov,
+                       eligible) -> CorrectResult:
+    """``ov`` is an OverlapResult; ``eligible`` [B] gates pairs (caller passes
+    r1&&r2 non-NULL).  Pairs with diff == 0 or diff > 5 are skipped
+    (basecorrector.cpp:15-17)."""
+    B, L1 = seq1.shape
+    L2 = seq2.shape[1]
+    active = eligible & (ov.diff != 0) & (ov.diff <= 5)
+
+    start1 = jnp.maximum(0, ov.offset)                      # [B]
+    start2 = rlen2 - jnp.maximum(0, -ov.offset) - 1         # [B]
+    k = start1 + start2                                     # p1 + p2 == k
+
+    # ---- corrections applied to read1 (positions q in [start1, start1+ol)) --
+    q1pos = positions(L1)
+    in_ov1 = (q1pos >= start1[:, None]) & (q1pos < (start1 + ov.overlap_len)[:, None])
+    mate_idx1 = jnp.clip(k[:, None] - q1pos, 0, L2 - 1)
+    mate_seq = jnp.take_along_axis(seq2, mate_idx1, axis=1)
+    mate_qual = jnp.take_along_axis(qual2, mate_idx1, axis=1)
+    mism1 = seq1 != complement(mate_seq)
+    fix1 = (active[:, None] & in_ov1 & mism1
+            & (mate_qual >= GOOD_QUAL) & (qual1 <= BAD_QUAL))
+    new_seq1 = jnp.where(fix1, complement(mate_seq), seq1)
+    new_qual1 = jnp.where(fix1, mate_qual, qual1)
+
+    # ---- corrections applied to read2 (positions j with i = start2 - j) ----
+    q2pos = positions(L2)
+    in_ov2 = (q2pos <= start2[:, None]) & (q2pos > (start2 - ov.overlap_len)[:, None])
+    mate_idx2 = jnp.clip(k[:, None] - q2pos, 0, L1 - 1)
+    mate_seq2 = jnp.take_along_axis(seq1, mate_idx2, axis=1)
+    mate_qual2 = jnp.take_along_axis(qual1, mate_idx2, axis=1)
+    mism2 = mate_seq2 != complement(seq2)
+    fix2 = (active[:, None] & in_ov2 & mism2
+            & (mate_qual2 >= GOOD_QUAL) & (qual2 <= BAD_QUAL))
+    new_seq2 = jnp.where(fix2, complement(mate_seq2), seq2)
+    new_qual2 = jnp.where(fix2, mate_qual2, qual2)
+
+    corrected1 = jnp.sum(fix1, axis=1).astype(jnp.int32)
+    corrected2 = jnp.sum(fix2, axis=1).astype(jnp.int32)
+
+    # correction matrix: (from & 7) * 8 + (to & 7), filterresult.cpp:122-126
+    matrix = jnp.zeros((64,), jnp.int32)
+    idx1 = ((seq1 & 7).astype(jnp.int32) * 8 + (complement(mate_seq) & 7).astype(jnp.int32))
+    matrix = matrix.at[idx1.reshape(-1)].add(fix1.reshape(-1).astype(jnp.int32))
+    idx2 = ((seq2 & 7).astype(jnp.int32) * 8 + (complement(mate_seq2) & 7).astype(jnp.int32))
+    matrix = matrix.at[idx2.reshape(-1)].add(fix2.reshape(-1).astype(jnp.int32))
+
+    return CorrectResult(new_seq1, new_qual1, new_seq2, new_qual2,
+                         corrected1, corrected2, matrix)

@@ -1,0 +1,82 @@
+"""Duplication-analysis key extraction.
+
+Device-side port of ``Duplicate::statRead`` / ``statPair``
+(reference: src/duplicate.cpp:64-129): per read, a 2-bit packed prefix key, a
+32-base "kmer32" discriminator (split into two uint32 halves -- no 64-bit
+types on device), and a GC byte.  The host-side table combiner lives in
+``fqtool_tpu.host.duplicate``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .common import C, G, seq2int_codes, valid_mask
+
+
+class DupKeys(NamedTuple):
+    key: jnp.ndarray       # int32 [B]  (2*keylen bits; keylen <= 15 on device)
+    kmer_hi: jnp.ndarray   # uint32 [B] first 16 bases of the 32-mer
+    kmer_lo: jnp.ndarray   # uint32 [B] last 16 bases
+    gc: jnp.ndarray        # uint8 [B] round(255 * gc / len)
+    valid: jnp.ndarray     # bool [B]
+
+
+def _pack_2bit(codes: jnp.ndarray, start: jnp.ndarray, n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack ``n`` 2-bit codes beginning at per-read ``start`` into uint32
+    (n <= 16); returns (value, all_valid)."""
+    B, L = codes.shape
+    val = jnp.zeros((B,), jnp.uint32)
+    ok = jnp.ones((B,), bool)
+    for j in range(n):
+        idx = jnp.clip(start + j, 0, L - 1)
+        c = jnp.take_along_axis(codes, idx[:, None], axis=1)[:, 0]
+        val = val * 4 + jnp.maximum(c, 0).astype(jnp.uint32)
+        ok = ok & (c >= 0)
+    return val, ok
+
+
+def _gc_byte(seq: jnp.ndarray, rlen: jnp.ndarray, total_len: jnp.ndarray) -> jnp.ndarray:
+    mask = valid_mask(rlen, seq.shape[1])
+    gc = jnp.sum(mask & ((seq == C) | (seq == G)), axis=1).astype(jnp.float32)
+    tl = jnp.maximum(total_len, 1).astype(jnp.float32)
+    # std::round = half away from zero = floor(x + 0.5) for non-negative x
+    return jnp.floor(255.0 * gc / tl + 0.5).astype(jnp.uint8)
+
+
+def dup_keys_se(seq: jnp.ndarray, rlen: jnp.ndarray, keylen: int) -> DupKeys:
+    """reference: src/duplicate.cpp:64-93.  kmer32 starts at
+    max(0, len - 32 - 5)."""
+    B, L = seq.shape
+    codes = seq2int_codes(seq)
+    zero = jnp.zeros((B,), jnp.int32)
+    key, key_ok = _pack_2bit(codes, zero, keylen)
+    start2 = jnp.maximum(0, rlen - 32 - 5)
+    hi, hi_ok = _pack_2bit(codes, start2, 16)
+    lo, lo_ok = _pack_2bit(codes, start2 + 16, 16)
+    valid = (rlen >= 32) & key_ok & hi_ok & lo_ok
+    gc = _gc_byte(seq, rlen, rlen)
+    return DupKeys(key.astype(jnp.int32), hi, lo, gc, valid)
+
+
+def dup_keys_pe(seq1: jnp.ndarray, rlen1: jnp.ndarray,
+                seq2: jnp.ndarray, rlen2: jnp.ndarray, keylen: int) -> DupKeys:
+    """reference: src/duplicate.cpp:95-129.  Key from read1 prefix, kmer32 from
+    read2 prefix, GC over both reads."""
+    B, L1 = seq1.shape
+    zero = jnp.zeros((B,), jnp.int32)
+    codes1 = seq2int_codes(seq1)
+    codes2 = seq2int_codes(seq2)
+    key, key_ok = _pack_2bit(codes1, zero, keylen)
+    hi, hi_ok = _pack_2bit(codes2, zero, 16)
+    lo, lo_ok = _pack_2bit(codes2, zero + 16, 16)
+    valid = (rlen1 >= 32) & (rlen2 >= 32) & key_ok & hi_ok & lo_ok
+    mask1 = valid_mask(rlen1, seq1.shape[1])
+    mask2 = valid_mask(rlen2, seq2.shape[1])
+    gc1 = jnp.sum(mask1 & ((seq1 == C) | (seq1 == G)), axis=1)
+    gc2 = jnp.sum(mask2 & ((seq2 == C) | (seq2 == G)), axis=1)
+    tl = jnp.maximum(rlen1 + rlen2, 1).astype(jnp.float32)
+    gc = jnp.floor(255.0 * (gc1 + gc2).astype(jnp.float32) / tl + 0.5).astype(jnp.uint8)
+    return DupKeys(key.astype(jnp.int32), hi, lo, gc, valid)

@@ -1,0 +1,52 @@
+"""Pair merging.
+
+Device-side construction of merged reads, porting
+``OverlapAnalysis::merge`` (reference: src/overlapanalysis.cpp:74-104):
+merged = r1[0 : ol + max(0, offset)] ++ revcomp(r2)[ol : ol + len2m] where
+len2m = rlen2 - ol when offset > 0 else 0.  The merged name mangling (with its
+off-by-one quirk) happens on host.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .common import positions
+from .overlap import OverlapResult, reverse_complement
+
+
+class MergeResult(NamedTuple):
+    seq: jnp.ndarray     # uint8 [B, LM]
+    qual: jnp.ndarray    # uint8 [B, LM]
+    rlen: jnp.ndarray    # int32 [B] merged length (len1 + len2m)
+    len1: jnp.ndarray    # int32 [B] bases taken from read1
+    len2: jnp.ndarray    # int32 [B] bases taken from revcomp(read2)
+
+
+def merge_pairs(seq1, qual1, rlen1, seq2, qual2, rlen2, ov: OverlapResult) -> MergeResult:
+    B, L1 = seq1.shape
+    L2 = seq2.shape[1]
+    LM = L1 + L2
+
+    rc2 = reverse_complement(seq2, rlen2)
+    # reversed quality (no complement)
+    idx = jnp.clip(rlen2[:, None] - 1 - positions(L2), 0, L2 - 1)
+    rq2 = jnp.take_along_axis(qual2, idx, axis=1)
+
+    len1 = ov.overlap_len + jnp.maximum(0, ov.offset)
+    len2 = jnp.where(ov.offset > 0, rlen2 - ov.overlap_len, 0)
+    mlen = len1 + len2
+
+    pos = positions(LM)
+    from_r1 = pos < len1[:, None]
+    # second part: position i maps to rc2[ol + (i - len1)]
+    idx2 = jnp.clip(ov.overlap_len[:, None] + pos - len1[:, None], 0, L2 - 1)
+    part2_seq = jnp.take_along_axis(rc2, jnp.minimum(idx2, L2 - 1), axis=1)
+    part2_qual = jnp.take_along_axis(rq2, jnp.minimum(idx2, L2 - 1), axis=1)
+    seq1_p = jnp.pad(seq1, ((0, 0), (0, LM - L1)))
+    qual1_p = jnp.pad(qual1, ((0, 0), (0, LM - L1)))
+    mseq = jnp.where(from_r1, seq1_p, part2_seq)
+    mqual = jnp.where(from_r1, qual1_p, part2_qual)
+    return MergeResult(mseq, mqual, mlen, len1, len2)

@@ -1,0 +1,303 @@
+"""Host-side processing runtime.
+
+Replaces the reference's producer/consumer pthread architecture
+(reference: src/seprocessor.cpp, src/peprocessor.cpp) with a pack-streaming
+loop: the host reads packs, ships them to the device pipeline, and
+materializes output records + report accumulators from the returned index
+arithmetic.  Output record order is always input order (matching the
+reference run with one worker thread).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+
+from ..config.options import Options
+from ..host import report_json
+from ..host.duplicate import DuplicateTable
+from ..host.filterresult import FilterResultAccumulator
+from ..host.stats import StatsAccumulator
+from ..host.umi import first_index, process_umi
+from ..io.fastq import OutputWriter, ReadPack, format_record, iter_packs
+from ..ops.filters import FAILED_TYPES
+from .se import se_pipeline
+
+
+def loginfo(msg: str) -> None:
+    sys.stderr.write(time.strftime("[%H:%M:%S] ") + msg + "\n")
+
+
+def index_match(blacklist: List[str], target: bytes, threshold: int) -> bool:
+    """Hamming-prefix match against a blacklist (reference: src/filter.cpp:191-211)."""
+    t = target.decode("latin-1")
+    tlen = len(t)
+    for entry in blacklist:
+        diff = 0
+        for s in range(min(len(entry), tlen)):
+            if entry[s] != t[s]:
+                diff += 1
+                if diff > threshold:
+                    break
+        if diff <= threshold:
+            return True
+    return False
+
+
+class SplitWriter:
+    """Split-output writer emulating ThreadConfig's rotation for a single
+    worker (reference: src/threadconfig.cpp:88-137).  Matches the reference
+    byte-for-byte when it runs with one worker thread."""
+
+    def __init__(self, opt: Options, paired: bool):
+        self.opt = opt
+        self.paired = paired
+        self.working_split = 0
+        self.current_reads = 0
+        self.stopped = False
+        self.w1: Optional[OutputWriter] = None
+        self.w2: Optional[OutputWriter] = None
+        self._open()
+
+    def _name(self, base: str) -> str:
+        num = str(self.working_split + 1)
+        if self.opt.split.digits > 0:
+            num = num.zfill(self.opt.split.digits)
+        d = os.path.dirname(base)
+        return os.path.join(d, num + "." + os.path.basename(base)) if d \
+            else num + "." + os.path.basename(base)
+
+    def _open(self) -> None:
+        if not self.opt.out1:
+            return
+        if self.w1:
+            self.w1.close()
+        if self.w2:
+            self.w2.close()
+        self.w1 = OutputWriter(self._name(self.opt.out1), self.opt.compression)
+        self.w2 = (OutputWriter(self._name(self.opt.out2), self.opt.compression)
+                   if self.paired and self.opt.out2 else None)
+
+    def write(self, data1: bytes, data2: bytes = b"") -> None:
+        if self.stopped:
+            return
+        if self.w1:
+            self.w1.write(data1)
+        if self.w2:
+            self.w2.write(data2)
+
+    def mark_processed(self, n: int) -> None:
+        """reference: src/threadconfig.cpp:107-127 (single-worker form)."""
+        self.current_reads += n
+        opt = self.opt
+        if self.current_reads >= opt.split.size:
+            if opt.split.by_file_lines or self.working_split + opt.thread < opt.split.number:
+                self.working_split += opt.thread
+                self._open()
+                self.current_reads = 0
+            else:
+                if opt.split.number % opt.thread > 0 and 0 >= opt.split.number % opt.thread:
+                    self.stopped = True
+
+    def close(self) -> None:
+        # write empty files to honor --split_file_number
+        # (threadconfig.cpp:131-137)
+        if self.opt.split.by_file_number:
+            while self.working_split + self.opt.thread < self.opt.split.number:
+                self.working_split += self.opt.thread
+                self._open()
+                self.current_reads = 0
+        if self.w1:
+            self.w1.close()
+        if self.w2:
+            self.w2.close()
+
+
+class SingleEndRunner:
+    def __init__(self, opt: Options):
+        self.opt = opt
+        self.params = opt.kernel_params(is_r2=False)
+        self.pre_stats = self._make_stats()
+        self.post_stats = self._make_stats()
+        self.filter_result = FilterResultAccumulator(opt, paired=False)
+        self.dup = (DuplicateTable(opt.duplicate.keylen, opt.duplicate.hist_size)
+                    if opt.duplicate.enabled else None)
+        self._pre_counter = 0
+        self._post_counter = 0
+        self.adapter_r1 = self._effective_adapter()
+
+    def _make_stats(self) -> StatsAccumulator:
+        opt = self.opt
+        return StatsAccumulator(
+            evaluated_seq_len=opt.est.seq_len1,
+            kmer_len=opt.kmer.kmer_len if opt.kmer.enabled else 0,
+            over_rep_sampling=opt.over_rep.sampling if opt.over_rep.enabled else 0,
+            over_rep_seqs=opt.over_rep.over_rep_seq_count_r1,
+        )
+
+    def _effective_adapter(self) -> bytes:
+        # SE trimming only uses an explicitly provided adapter
+        # (seprocessor.cpp:321-323)
+        if self.opt.adapter.enable_trimming and self.opt.adapter.adapter_seq_r1_provided:
+            return self.opt.adapter.input_adapter_seq_r1.encode()
+        return b""
+
+    # ------------------------------------------------------------------
+    def run(self) -> None:
+        opt = self.opt
+        split = SplitWriter(opt, paired=False) if opt.split.enabled else None
+        out_writer = (OutputWriter(opt.out1, opt.compression)
+                      if opt.out1 and not opt.split.enabled else None)
+        failed_writer = (OutputWriter(opt.failed_out, opt.compression)
+                         if opt.failed_out else None)
+
+        total = 0
+        for pack in iter_packs(opt.in1, opt.buf_size.max_reads_in_pack, opt.phred64):
+            outstr, failedstr, read_passed = self.process_pack(pack)
+            total += pack.count
+            if split is not None:
+                split.write(outstr)
+                split.mark_processed(read_passed if opt.split.by_file_lines else pack.count)
+            elif out_writer is not None:
+                out_writer.write(outstr)
+            if failed_writer is not None:
+                failed_writer.write(failedstr)
+        loginfo(f"processed {total} reads")
+
+        if split is not None:
+            split.close()
+        if out_writer is not None:
+            out_writer.close()
+        if failed_writer is not None:
+            failed_writer.close()
+        self.write_reports()
+
+    # ------------------------------------------------------------------
+    def process_pack(self, pack: ReadPack):
+        opt = self.opt
+        B = pack.count
+        keep = np.ones(B, bool)
+        if opt.index_filter.enabled:
+            for i in range(B):
+                if index_match(opt.index_filter.blacklist1, first_index(pack.names[i]),
+                               opt.index_filter.threshold):
+                    keep[i] = False
+        start0, _ = process_umi(opt, pack)
+
+        out = se_pipeline(
+            pack.seq, pack.qual, pack.lens, start0, keep,
+            self.params,
+            adapter_r1=self.adapter_r1,
+            use_start0=bool(opt.umi.enabled),
+            with_kmer=bool(opt.kmer.enabled),
+        )
+        out = jax.device_get(out)
+
+        # stats ---------------------------------------------------------
+        self.pre_stats.add_batch(out["pre"])
+        self.post_stats.add_batch(out["post"])
+        if "pre_kmer" in out:
+            self.pre_stats.add_kmer(out["pre_kmer"])
+        if "post_kmer" in out:
+            self.post_stats.add_kmer(out["post_kmer"])
+        if self.dup is not None:
+            d = out["dup"]
+            self.dup.add_batch(np.asarray(d.key), np.asarray(d.kmer_hi),
+                               np.asarray(d.kmer_lo), np.asarray(d.gc),
+                               np.asarray(d.valid))
+
+        result = np.asarray(out["result"])
+        passed = np.asarray(out["passed"])
+        front = np.asarray(out["front"])
+        rlen = np.asarray(out["rlen"])
+        dropped = np.asarray(out["dropped"])
+
+        # filter-fate counters: index-filtered reads never count
+        # (seprocessor.cpp:304-307)
+        self.filter_result.add_filter_results(result[keep], n_each=1)
+
+        # polyG / polyX trim events ------------------------------------
+        if "polyg_trimmed" in out:
+            m = np.asarray(out["polyg_trimmed"]) & keep
+            self.filter_result.add_polyx_trimmed(
+                np.full(B, 3), np.asarray(out["polyg_trim_len"]), m)
+        if "polyx_trimmed" in out:
+            m = np.asarray(out["polyx_trimmed"]) & keep
+            self.filter_result.add_polyx_trimmed(
+                np.asarray(out["polyx_base"]), np.asarray(out["polyx_trim_len"]), m)
+
+        # adapter trim events ------------------------------------------
+        if "adapter_found" in out:
+            found = np.asarray(out["adapter_found"]) & keep
+            pos = np.asarray(out["adapter_pos"])
+            before = np.asarray(out["len_after_polyg"])
+            alen = len(self.adapter_r1)
+            for i in np.flatnonzero(found):
+                p = int(pos[i])
+                if p < 0:
+                    adapter = self.adapter_r1[-p: alen]
+                else:
+                    s = int(front[i])
+                    adapter = pack.seq[i, s + p : s + int(before[i])].tobytes()
+                self.filter_result.add_adapter_trimmed(adapter, is_r2=False)
+
+        # ORA sampling --------------------------------------------------
+        if opt.over_rep.enabled:
+            sampling = opt.over_rep.sampling
+            for i in range(B):
+                if self._pre_counter % sampling == 0:
+                    self.pre_stats.add_over_rep_read(
+                        pack.seq[i, : pack.lens[i]].tobytes())
+                self._pre_counter += 1
+
+        # output strings ------------------------------------------------
+        out_parts: List[bytes] = []
+        failed_parts: List[bytes] = []
+        read_passed = 0
+        want_failed = bool(opt.failed_out)
+        sampling = opt.over_rep.sampling if opt.over_rep.enabled else 0
+        for i in range(B):
+            if not keep[i]:
+                continue
+            if passed[i]:
+                s, n = int(front[i]), int(rlen[i])
+                out_parts.append(format_record(
+                    pack.names[i], pack.seq[i, s : s + n].tobytes(),
+                    pack.strands[i], pack.qual[i, s : s + n].tobytes()))
+                if sampling:
+                    if self._post_counter % sampling == 0:
+                        self.post_stats.add_over_rep_read(pack.seq[i, s : s + n].tobytes())
+                    self._post_counter += 1
+                read_passed += 1
+            elif want_failed:
+                # failed output carries the post-UMI original read
+                # (seprocessor.cpp:346-348)
+                s0 = int(start0[i])
+                n0 = int(pack.lens[i]) - s0
+                failed_parts.append(format_record(
+                    pack.names[i], pack.seq[i, s0 : s0 + n0].tobytes(),
+                    pack.strands[i], pack.qual[i, s0 : s0 + n0].tobytes(),
+                    tag=FAILED_TYPES[int(result[i])].encode()))
+        return b"".join(out_parts), b"".join(failed_parts), read_passed
+
+    # ------------------------------------------------------------------
+    def write_reports(self) -> None:
+        opt = self.opt
+        dup_hist = dup_gc = None
+        dup_rate = 0.0
+        if self.dup is not None:
+            dup_hist, dup_gc, dup_rate = self.dup.stat_all()
+        report = report_json.build_report(
+            opt, self.filter_result, self.pre_stats, self.post_stats,
+            dup_hist=dup_hist, dup_mean_gc=dup_gc, dup_rate=dup_rate)
+        report_json.write_report(opt.json_file, report)
+        from ..host import report_html
+        report_html.write_report(opt, self.filter_result, self.pre_stats,
+                                 self.post_stats, None, None,
+                                 dup_hist, dup_gc, dup_rate, None, 0)

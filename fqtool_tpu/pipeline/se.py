@@ -1,0 +1,135 @@
+"""Single-end device pipeline.
+
+Jit-compiled composition of the per-read kernels in the exact op order of
+``SingleEndProcessor::processSingleEnd`` (reference: src/seprocessor.cpp:290-353):
+
+  pre-stats -> (dup keys) -> [index filter + UMI are host-side] ->
+  trimAndCut -> polyG -> adapter-by-sequence -> polyX -> max-length resize ->
+  passFilter -> post-stats.
+
+All per-read results come back as index arithmetic (spans + event codes);
+the host materializes output records from the original byte arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.options import KernelParams
+from ..ops import adapter as ops_adapter
+from ..ops import dup as ops_dup
+from ..ops import filters as ops_filters
+from ..ops import polyx as ops_polyx
+from ..ops import qualcut as ops_qualcut
+from ..ops import stats as ops_stats
+from ..ops.common import align
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("p", "adapter_r1", "use_start0", "with_kmer"),
+)
+def se_pipeline(
+    seq: jnp.ndarray,
+    qual: jnp.ndarray,
+    lens: jnp.ndarray,
+    start0: jnp.ndarray,
+    keep: jnp.ndarray,
+    p: KernelParams,
+    adapter_r1: bytes = b"",
+    use_start0: bool = False,
+    with_kmer: bool = False,
+):
+    """Run the full SE per-read pipeline on one pack.
+
+    Args:
+      seq, qual: uint8 [B, L] raw reads (zero padded).
+      lens: int32 [B] raw lengths.
+      start0: int32 [B] host-computed front offset (UMI trimming); only applied
+        when ``use_start0``.
+      keep: bool [B]; False = read removed by the host index filter (it still
+        contributes to pre-stats but to nothing else, seprocessor.cpp:304-307).
+      p: static kernel parameters.
+      adapter_r1: static ASCII adapter sequence for trimBySequence ('' = none).
+    """
+    out = {}
+    lens = lens.astype(jnp.int32)
+
+    # 1. pre-filtering stats on the raw reads (seprocessor.cpp:298)
+    out["pre"] = ops_stats.stat_batch(seq, qual, lens)
+    if with_kmer and p.kmer_len:
+        out["pre_kmer"] = ops_stats.kmer_counts(seq, lens, p.kmer_len)
+
+    # 2. duplication keys on the raw reads (seprocessor.cpp:300-302)
+    if p.dup_enabled:
+        out["dup"] = ops_dup.dup_keys_se(seq, lens, p.dup_keylen)
+
+    # 3. UMI front-trim offsets computed on host; realign
+    if use_start0:
+        seq = align(seq, start0)
+        qual = align(qual, start0)
+        lens = lens - start0
+    else:
+        start0 = jnp.zeros_like(lens)
+
+    # 4. force trims + quality cuts (seprocessor.cpp:313)
+    tc = ops_qualcut.trim_and_cut(seq, qual, lens, p.front, p.tail, p)
+    front_may_move = p.front > 0 or p.cut_front
+    if front_may_move:
+        seq = align(seq, tc.front)
+        qual = align(qual, tc.front)
+    rlen = tc.rlen
+    dropped = tc.dropped
+    out["len_after_cut"] = rlen
+
+    # 5. polyG trimming (seprocessor.cpp:316-318); skipped for dropped reads
+    if p.polyg_enabled:
+        pg = ops_polyx.trim_polyg(seq, rlen, p.polyg_min_len,
+                                  p.polyg_max_mismatch, p.polyg_each)
+        rlen = jnp.where(dropped, rlen, pg.rlen)
+        out["polyg_trimmed"] = pg.trimmed & ~dropped
+        out["polyg_trim_len"] = pg.trim_len
+    out["len_after_polyg"] = rlen
+
+    # 6. adapter trimming by provided sequence (seprocessor.cpp:321-323)
+    if p.adapter_trimming_enabled and adapter_r1:
+        ad = ops_adapter.trim_by_sequence(
+            seq, rlen, np.frombuffer(adapter_r1, np.uint8))
+        rlen = jnp.where(dropped, rlen, ad.rlen)
+        out["adapter_found"] = ad.found & ~dropped
+        out["adapter_pos"] = ad.pos
+    out["len_after_adapter"] = rlen
+
+    # 7. polyX trimming (seprocessor.cpp:326-329)
+    if p.polyx_enabled:
+        px = ops_polyx.trim_polyx(seq, rlen, p.polyx_trim_chr, p.polyx_min_len,
+                                  p.polyx_max_mismatch, p.polyx_each)
+        rlen = jnp.where(dropped, rlen, px.rlen)
+        out["polyx_trimmed"] = px.trimmed & ~dropped
+        out["polyx_trim_len"] = px.trim_len
+        out["polyx_base"] = px.base_idx
+
+    # 8. max length resize (seprocessor.cpp:332-336)
+    if p.max_len > 0:
+        rlen = jnp.where(dropped, rlen, jnp.minimum(rlen, p.max_len))
+
+    # 9. pass/fail classification (seprocessor.cpp:339)
+    result = ops_filters.pass_filter(seq, qual, rlen, dropped, p)
+    passed = (result == ops_filters.PASS_FILTER) & keep
+
+    # 10. post-filtering stats on passing reads (seprocessor.cpp:342-345)
+    out["post"] = ops_stats.stat_batch(seq, qual, rlen, select=passed)
+    if with_kmer and p.kmer_len:
+        out["post_kmer"] = ops_stats.kmer_counts(seq, rlen, p.kmer_len, select=passed)
+
+    out["result"] = result
+    out["passed"] = passed
+    out["front"] = start0 + tc.front  # total offset into the original rows
+    out["rlen"] = rlen
+    out["dropped"] = dropped
+    return out
