@@ -1,0 +1,66 @@
+"""Throughput benchmark.
+
+Measures end-to-end SE preprocessing throughput (reads/s) for the driver's
+config 1 (`-q -f 3 -t 2`) on an 8x-replicated copy of the reference testdata
+(100k reads x 150bp), end to end: gzip in -> device pipeline -> gzip out ->
+reports.  Prints one JSON line with reads/s and the ratio vs the reference
+baseline measured in BASELINE.md (16.7k reads/s on this container's CPU).
+
+A small warm-up run absorbs JIT compilation (the reference binary has no
+comparable startup cost; steady-state throughput is the honest comparison
+for a streaming tool meant to chew through much larger runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+BASELINE_READS_PER_SEC = 16_700  # BASELINE.md config 1
+TESTDATA = "/root/reference/testdata/r1.fq.gz"
+REPLICAS = 8  # 12.5k reads x 8 = 100k reads
+
+
+def main() -> None:
+    workdir = tempfile.mkdtemp(prefix="fqtool_bench_")
+    big = os.path.join(workdir, "big.fq.gz")
+    # concatenated gzip members form a valid gzip stream
+    with open(big, "wb") as out:
+        src = open(TESTDATA, "rb").read()
+        for _ in range(REPLICAS):
+            out.write(src)
+
+    n_reads = 12500 * REPLICAS
+    argv_common = ["-q", "-f", "3", "-t", "2"]
+
+    from fqtool_tpu.main import main as fq_main
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        # warm-up on the small input to populate the JIT cache
+        fq_main(["-i", TESTDATA, "-o", "warm.fq.gz", *argv_common])
+
+        t0 = time.perf_counter()
+        fq_main(["-i", big, "-o", "out.fq.gz", *argv_common])
+        dt = time.perf_counter() - t0
+    finally:
+        os.chdir(cwd)
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    rps = n_reads / dt
+    print(json.dumps({
+        "metric": "se_reads_per_sec",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

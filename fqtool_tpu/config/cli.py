@@ -303,6 +303,8 @@ def namespace_to_options(ns: argparse.Namespace) -> Options:
     opt.adapter.input_adapter_seq_r2 = ns.adapter_of_read2
     opt.adapter.enable_detect_for_pe = ns.detect_pe_adapter
 
+    opt.correction.enabled = ns.correction_enabled
+
     opt.trim.front1 = ns.front1
     opt.trim.tail1 = ns.tail1
     opt.trim.max_len1 = ns.max_len1

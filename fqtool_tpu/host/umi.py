@@ -99,9 +99,11 @@ def process_umi(opt: Options, pack1, pack2=None) -> Tuple[np.ndarray, Optional[n
                 umi += b"-" + pack2.read_seq(i, 0, n2)
                 if trim:
                     start2[i] = max(0, min(length + skip, l2 - 1))
-                # quirk: read1's length bounds read2's quality extraction
-                # (umiprocessor.cpp:60)
-                qua += b"-" + pack2.read_qual(i, 0, min(l1, length))
+                # read2's quality is extracted AFTER both trimFront calls and
+                # bounded by the TRIMMED read1 length (umiprocessor.cpp:55-60)
+                l1_trimmed = l1 - int(start1[i])
+                qua += b"-" + pack2.read_qual(i, int(start2[i]),
+                                              min(l1_trimmed, length))
 
         tag = umi
         if len(tag) > 6 and len(qua) > 6:

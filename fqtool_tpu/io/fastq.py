@@ -1,15 +1,16 @@
 """FASTQ pack I/O.
 
 The TPU pipeline consumes *packs*: struct-of-array batches with fixed-shape
-``uint8[B, L]`` base/quality matrices plus per-read lengths, and host-side
-name/strand byte strings.  This replaces the reference's per-read
-``FqReader``/``Writer`` objects (reference: src/fqreader.cpp:160-195,
-src/writer.cpp:81-92) with a vectorized, batch-oriented design.
+``uint8[B, L]`` base/quality matrices plus per-read lengths.  Names and strand
+lines stay in the raw text buffer as (offset, length) spans -- the native core
+(``native/fastq_core.cpp``) tokenizes input text and re-materializes output
+records without per-record Python work.  This replaces the reference's
+per-read ``FqReader``/``Writer`` objects (reference: src/fqreader.cpp:160-195,
+src/writer.cpp:81-92).
 
 Record-level parsing semantics follow the reference reader:
   * name lines: blank lines and lines not starting with '@' are skipped
     (fqreader.cpp:169-171);
-  * missing quality is fabricated as 'K' * len (fqreader.cpp:179-181);
   * a quality/sequence length mismatch reports an error and terminates the
     stream (fqreader.cpp:184-191);
   * phred64 input is converted to phred33 clamped at 33 (read.h:71-75).
@@ -18,41 +19,85 @@ Record-level parsing semantics follow the reference reader:
 from __future__ import annotations
 
 import gzip
-import io
 import os
 import sys
 import zlib
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
+from . import native
+
 DEFAULT_PACK_READS = 100000  # reference: options.h:21 maxReadsInPack
+_READ_CHUNK = 8 << 20
 
 
 @dataclass
 class ReadPack:
     """A batch of reads in struct-of-arrays form.
 
-    ``names``/``strands`` keep the raw header lines (including the leading
-    '@' / '+') for host-side string work; ``seq``/``qual`` are zero-padded
-    ASCII byte matrices.
+    ``buf`` owns the raw header text; names (including the leading '@') and
+    strand lines are (offset, length) spans into it.  ``seq``/``qual`` are
+    zero-padded ASCII byte matrices.
     """
 
-    names: List[bytes]
-    strands: List[bytes]
-    seq: np.ndarray  # uint8 [B, L]
-    qual: np.ndarray  # uint8 [B, L]
-    lens: np.ndarray  # int32 [B]
+    buf: bytes
+    name_off: np.ndarray     # int64 [B]
+    name_len: np.ndarray     # int32 [B]
+    strand_off: np.ndarray   # int64 [B]
+    strand_len: np.ndarray   # int32 [B]
+    seq: np.ndarray          # uint8 [B, L]
+    qual: np.ndarray         # uint8 [B, L]
+    lens: np.ndarray         # int32 [B]
+    _names: Optional[List[bytes]] = field(default=None, repr=False)
 
     @property
     def count(self) -> int:
-        return len(self.names)
+        return len(self.lens)
 
     @property
     def width(self) -> int:
         return self.seq.shape[1]
 
+    # -- names ---------------------------------------------------------
+    @property
+    def names(self) -> List[bytes]:
+        """Materialized (mutable) name list; mutations are honored by
+        ``name_arrays`` via a rebuild."""
+        if self._names is None:
+            self._names = [
+                self.buf[self.name_off[i]: self.name_off[i] + self.name_len[i]]
+                for i in range(self.count)]
+        return self._names
+
+    def name(self, i: int) -> bytes:
+        if self._names is not None:
+            return self._names[i]
+        return self.buf[self.name_off[i]: self.name_off[i] + self.name_len[i]]
+
+    def strand(self, i: int) -> bytes:
+        return self.buf[self.strand_off[i]: self.strand_off[i] + self.strand_len[i]]
+
+    @property
+    def strands(self) -> List[bytes]:
+        return [self.strand(i) for i in range(self.count)]
+
+    def name_arrays(self) -> Tuple[bytes, np.ndarray, np.ndarray]:
+        """(buf, offsets, lengths) for native formatting, reflecting any
+        mutation made through ``names``."""
+        if self._names is None:
+            return self.buf, self.name_off, self.name_len
+        lens = np.fromiter((len(n) for n in self._names),
+                           count=self.count, dtype=np.int32)
+        off = np.zeros(self.count, np.int64)
+        np.cumsum(lens[:-1], out=off[1:])
+        return b"".join(self._names), off, lens
+
+    def strand_arrays(self) -> Tuple[bytes, np.ndarray, np.ndarray]:
+        return self.buf, self.strand_off, self.strand_len
+
+    # -- content -------------------------------------------------------
     def read_seq(self, i: int, start: int = 0, length: Optional[int] = None) -> bytes:
         n = self.lens[i] if length is None else length
         return self.seq[i, start : start + n].tobytes()
@@ -68,45 +113,185 @@ def _round_width(n: int, multiple: int = 8) -> int:
 
 def make_pack(records: List[Tuple[bytes, bytes, bytes, bytes]], phred64: bool = False,
               width_multiple: int = 8) -> ReadPack:
-    """Build a ReadPack from (name, seq, strand, qual) byte tuples."""
-    if not records:
-        return ReadPack([], [], np.zeros((0, 8), np.uint8), np.zeros((0, 8), np.uint8),
-                        np.zeros((0,), np.int32))
+    """Build a ReadPack from (name, seq, strand, qual) byte tuples (pure
+    Python path; used by tests and as the no-compiler fallback)."""
+    B = len(records)
     names = [r[0] for r in records]
     strands = [r[2] for r in records]
     seqs = [r[1] for r in records]
     quals = [r[3] for r in records]
-    lens = np.fromiter((len(s) for s in seqs), count=len(seqs), dtype=np.int32)
+    if B == 0:
+        z64 = np.zeros(0, np.int64)
+        z32 = np.zeros(0, np.int32)
+        return ReadPack(b"", z64, z32, z64.copy(), z32.copy(),
+                        np.zeros((0, 8), np.uint8), np.zeros((0, 8), np.uint8),
+                        np.zeros(0, np.int32))
+    lens = np.fromiter((len(s) for s in seqs), count=B, dtype=np.int32)
     width = _round_width(int(lens.max(initial=0)), width_multiple)
-    # np.array over 'S<width>' zero-pads each row -- a single C-level copy
     seq = np.frombuffer(np.array(seqs, dtype=f"S{width}").tobytes(), np.uint8).reshape(-1, width)
-    qual = np.frombuffer(np.array(quals, dtype=f"S{width}").tobytes(), np.uint8).reshape(-1, width)
+    qual = np.frombuffer(np.array(quals, dtype=f"S{width}").tobytes(), np.uint8).reshape(-1, width).copy()
     if phred64:
         qual = np.where(qual > 0, np.maximum(qual.astype(np.int16) - 31, 33), 0).astype(np.uint8)
-    return ReadPack(names, strands, seq, qual.copy(), lens)
+    name_len = np.fromiter((len(n) for n in names), count=B, dtype=np.int32)
+    strand_len = np.fromiter((len(s) for s in strands), count=B, dtype=np.int32)
+    name_buf = b"".join(names)
+    strand_buf = b"".join(strands)
+    name_off = np.zeros(B, np.int64)
+    np.cumsum(name_len[:-1], out=name_off[1:])
+    strand_off = np.zeros(B, np.int64)
+    np.cumsum(strand_len[:-1], out=strand_off[1:])
+    return ReadPack(name_buf + strand_buf, name_off, name_len,
+                    strand_off + len(name_buf), strand_len,
+                    seq, qual, lens)
 
 
 class FastqStreamError(RuntimeError):
     pass
 
 
-def _open_input(path: str):
-    if path == "/dev/stdin":
-        return sys.stdin.buffer
-    if path.endswith(".gz"):
-        return gzip.open(path, "rb")
-    return open(path, "rb")
+class _RawStream:
+    """Chunked reader over a possibly-gzipped (multi-member) file."""
+
+    def __init__(self, path: str):
+        self.path = path
+        if path == "/dev/stdin":
+            self._fh = sys.stdin.buffer
+            self._close = False
+        else:
+            self._fh = open(path, "rb", buffering=1 << 20)
+            self._close = True
+        self._gz = path.endswith(".gz")
+        self._z = zlib.decompressobj(wbits=47) if self._gz else None
+        self._raw_eof = False
+
+    def read_chunk(self) -> bytes:
+        if not self._gz:
+            return self._fh.read(_READ_CHUNK)
+        out = []
+        total = 0
+        while total < _READ_CHUNK:
+            if self._z.eof:
+                tail = self._z.unused_data
+                self._z = zlib.decompressobj(wbits=47)
+                if tail:
+                    d = self._z.decompress(tail, _READ_CHUNK)
+                    out.append(d)
+                    total += len(d)
+                    continue
+            if self._z.unconsumed_tail:
+                d = self._z.decompress(self._z.unconsumed_tail, _READ_CHUNK)
+                out.append(d)
+                total += len(d)
+                continue
+            raw = self._fh.read(1 << 20)
+            if not raw:
+                self._raw_eof = True
+                out.append(self._z.flush())
+                break
+            d = self._z.decompress(raw, _READ_CHUNK)
+            out.append(d)
+            total += len(d)
+        return b"".join(out)
+
+    def close(self):
+        if self._close:
+            self._fh.close()
+
+
+class PackReader:
+    """Streaming pack reader over one FASTQ file (native tokenizer when
+    available, Python fallback otherwise)."""
+
+    def __init__(self, path: str, pack_reads: int = DEFAULT_PACK_READS,
+                 phred64: bool = False, width_multiple: int = 8):
+        self.path = path
+        self.pack_reads = pack_reads
+        self.phred64 = phred64
+        self.width_multiple = width_multiple
+        self._use_native = native.get_lib() is not None
+        if self._use_native:
+            self._stream = _RawStream(path)
+            self._pending = bytearray()
+            self._eof = False
+            self._err = False
+            self._bytes_per_rec = 300.0
+        else:
+            self._py_iter = iter_records(path)
+        self._done = False
+
+    def next_pack(self) -> Optional[ReadPack]:
+        if self._done:
+            return None
+        pack = (self._next_native() if self._use_native
+                else self._next_python())
+        if pack is None or pack.count == 0:
+            self._done = True
+            if self._use_native:
+                self._stream.close()
+            return None
+        return pack
+
+    # ------------------------------------------------------------------
+    def _next_native(self) -> Optional[ReadPack]:
+        if self._err:
+            return None
+        want = int(self.pack_reads * self._bytes_per_rec * 1.1) + (1 << 16)
+        while True:
+            while not self._eof and len(self._pending) < want:
+                chunk = self._stream.read_chunk()
+                if not chunk:
+                    self._eof = True
+                    break
+                self._pending += chunk
+            buf = bytes(self._pending)
+            n, spans, consumed, err = native.parse_buffer(
+                buf, self.pack_reads, final=self._eof)
+            if err:
+                sys.stderr.write(
+                    "Error: base sequnce and quality sequence have different length\n")
+                self._err = True
+            if n >= self.pack_reads or self._eof or err:
+                if n == 0:
+                    return None
+                del self._pending[:consumed]
+                self._bytes_per_rec = max(50.0, consumed / max(n, 1))
+                return self._make_native_pack(buf, n, spans)
+            # not enough data parsed yet: read more
+            want = int(want * 1.5) + (1 << 20)
+            if self._eof:
+                return None
+
+    def _make_native_pack(self, buf: bytes, n: int, spans: dict) -> ReadPack:
+        lens = spans["seq_len"].astype(np.int32)
+        width = _round_width(int(lens.max(initial=0)), self.width_multiple)
+        seq, qual = native.pack_spans(buf, spans, width, self.phred64)
+        return ReadPack(buf, spans["name_off"].copy(), spans["name_len"].copy(),
+                        spans["strand_off"].copy(), spans["strand_len"].copy(),
+                        seq, qual, lens)
+
+    def _next_python(self) -> Optional[ReadPack]:
+        recs = []
+        for rec in self._py_iter:
+            recs.append(rec)
+            if len(recs) >= self.pack_reads:
+                break
+        if not recs:
+            return None
+        return make_pack(recs, self.phred64, self.width_multiple)
 
 
 def iter_records(path: str) -> Iterator[Tuple[bytes, bytes, bytes, bytes]]:
-    """Yield (name, seq, strand, qual) raw byte tuples from a FASTQ file.
-
-    Implements the reference's record recovery semantics (fqreader.cpp:160-195).
-    """
-    with _open_input(path) as fh:
+    """Yield (name, seq, strand, qual) raw byte tuples from a FASTQ file
+    (pure Python; reference semantics fqreader.cpp:160-195)."""
+    if path == "/dev/stdin":
+        fh = sys.stdin.buffer
+    elif path.endswith(".gz"):
+        fh = gzip.open(path, "rb")
+    else:
+        fh = open(path, "rb")
+    with fh:
         it = iter(fh)
         while True:
-            # scan for a name line: skip blanks and non-'@' lines
             name = None
             for line in it:
                 line = line.rstrip(b"\r\n")
@@ -116,38 +301,30 @@ def iter_records(path: str) -> Iterator[Tuple[bytes, bytes, bytes, bytes]]:
             if name is None:
                 return
             seq = next(it, None)
-            strand = next(it, None)
-            qual = next(it, None)
             if seq is None:
                 return
+            strand = next(it, None)
+            qual = next(it, None)
             seq = seq.rstrip(b"\r\n")
             strand = b"" if strand is None else strand.rstrip(b"\r\n")
-            if qual is None:
-                # no quality: fabricate 'K' * len (fqreader.cpp:179-181)
-                qual = b"K" * len(seq)
-            else:
-                qual = qual.rstrip(b"\r\n")
+            qual = b"" if qual is None else qual.rstrip(b"\r\n")
             if len(qual) != len(seq):
                 sys.stderr.write(
                     "Error: base sequnce and quality sequence have different length: \n"
                     + name.decode("latin-1") + "\n" + seq.decode("latin-1") + "\n"
-                    + qual.decode("latin-1") + "\n" + strand.decode("latin-1") + "\n"
-                )
+                    + qual.decode("latin-1") + "\n" + strand.decode("latin-1") + "\n")
                 return
             yield (name, seq, strand, qual)
 
 
 def iter_packs(path: str, pack_reads: int = DEFAULT_PACK_READS, phred64: bool = False,
                width_multiple: int = 8) -> Iterator[ReadPack]:
-    """Yield successive ReadPacks of up to ``pack_reads`` reads."""
-    buf: List[Tuple[bytes, bytes, bytes, bytes]] = []
-    for rec in iter_records(path):
-        buf.append(rec)
-        if len(buf) >= pack_reads:
-            yield make_pack(buf, phred64, width_multiple)
-            buf = []
-    if buf:
-        yield make_pack(buf, phred64, width_multiple)
+    reader = PackReader(path, pack_reads, phred64, width_multiple)
+    while True:
+        pack = reader.next_pack()
+        if pack is None:
+            return
+        yield pack
 
 
 def iter_packs_paired(path1: str, path2: str, interleaved: bool = False,
@@ -166,36 +343,61 @@ def iter_packs_paired(path1: str, path2: str, interleaved: bool = False,
                 if r2 is None:
                     return
                 yield r1, r2
-        pairs = gen()
-    else:
-        pairs = zip(iter_records(path1), iter_records(path2))
 
-    buf1: List[Tuple[bytes, bytes, bytes, bytes]] = []
-    buf2: List[Tuple[bytes, bytes, bytes, bytes]] = []
-    for r1, r2 in pairs:
-        buf1.append(r1)
-        buf2.append(r2)
-        if len(buf1) >= pack_reads:
-            yield make_pack(buf1, phred64, width_multiple), make_pack(buf2, phred64, width_multiple)
-            buf1, buf2 = [], []
-    if buf1:
-        yield make_pack(buf1, phred64, width_multiple), make_pack(buf2, phred64, width_multiple)
+        pairs = gen()
+        buf1: List[Tuple[bytes, bytes, bytes, bytes]] = []
+        buf2: List[Tuple[bytes, bytes, bytes, bytes]] = []
+        for r1, r2 in pairs:
+            buf1.append(r1)
+            buf2.append(r2)
+            if len(buf1) >= pack_reads:
+                yield make_pack(buf1, phred64, width_multiple), \
+                    make_pack(buf2, phred64, width_multiple)
+                buf1, buf2 = [], []
+        if buf1:
+            yield make_pack(buf1, phred64, width_multiple), \
+                make_pack(buf2, phred64, width_multiple)
+        return
+
+    rd1 = PackReader(path1, pack_reads, phred64, width_multiple)
+    rd2 = PackReader(path2, pack_reads, phred64, width_multiple)
+    while True:
+        p1 = rd1.next_pack()
+        p2 = rd2.next_pack()
+        if p1 is None or p2 is None:
+            return
+        n = min(p1.count, p2.count)
+        if n == 0:
+            return
+        if p1.count != p2.count:
+            p1 = _truncate_pack(p1, n)
+            p2 = _truncate_pack(p2, n)
+            yield p1, p2
+            return  # shorter stream exhausted
+        yield p1, p2
+
+
+def _truncate_pack(p: ReadPack, n: int) -> ReadPack:
+    return ReadPack(p.buf, p.name_off[:n], p.name_len[:n],
+                    p.strand_off[:n], p.strand_len[:n],
+                    p.seq[:n], p.qual[:n], p.lens[:n])
 
 
 class OutputWriter:
     """Streaming FASTQ output, gzip when the filename ends with .gz.
 
-    Mirrors the reference Writer (src/writer.cpp:30-60): compression level from
-    options, 1 MiB buffering.
+    Mirrors the reference Writer (src/writer.cpp:30-60): compression level
+    from options, 1 MiB buffering.
     """
 
     def __init__(self, path: str, compression: int = 3):
         self.path = path
         self._gz = path.endswith(".gz")
-        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        d = os.path.dirname(os.path.abspath(path))
+        os.makedirs(d, exist_ok=True)
         self._fh = open(path, "wb", buffering=1 << 20)
         if self._gz:
-            # raw gzip stream via zlib for speed; wbits=31 => gzip container
+            # wbits=31 => gzip container, streamed
             self._comp = zlib.compressobj(compression, zlib.DEFLATED, 31)
         else:
             self._comp = None
@@ -232,3 +434,35 @@ def format_record(name: bytes, seq: bytes, strand: bytes, qual: bytes,
     if tag is not None:
         name = name + b" " + tag
     return b"%s\n%s\n%s\n%s\n" % (name, seq, strand, qual)
+
+
+def format_selected(pack: ReadPack, select: np.ndarray, start: np.ndarray,
+                    out_len: np.ndarray,
+                    seq: Optional[np.ndarray] = None,
+                    qual: Optional[np.ndarray] = None,
+                    tags: Optional[Tuple[bytes, np.ndarray, np.ndarray]] = None) -> bytes:
+    """Materialize all selected records of a pack in one native call.
+
+    ``seq``/``qual`` default to the pack matrices; pass device-corrected
+    arrays (with start already applied) to emit modified content.
+    """
+    if not select.any():
+        return b""
+    nb, no, nl = pack.name_arrays()
+    sb, so, sl = pack.strand_arrays()
+    seq = pack.seq if seq is None else seq
+    qual = pack.qual if qual is None else qual
+    if native.get_lib() is not None:
+        return native.format_records(select, nb, no, nl, sb, so, sl,
+                                     seq, qual, start, out_len, tags)
+    parts = []
+    for i in np.flatnonzero(select):
+        tag = None
+        if tags is not None and tags[2][i]:
+            tag = tags[0][tags[1][i]: tags[1][i] + tags[2][i]]
+        s = int(start[i])
+        n = int(out_len[i])
+        parts.append(format_record(pack.name(i), seq[i, s : s + n].tobytes(),
+                                   pack.strand(i), qual[i, s : s + n].tobytes(),
+                                   tag))
+    return b"".join(parts)

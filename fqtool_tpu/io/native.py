@@ -1,0 +1,172 @@
+"""ctypes binding for the native FASTQ core.
+
+Builds ``libfastq_core.so`` from the bundled C++ source on first use (g++ is
+part of the supported toolchain) and caches it next to the package.  Every
+entry point has a pure-Python fallback, so the framework degrades gracefully
+on systems without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "..", "native", "fastq_core.cpp")
+_LIB_DIR = os.environ.get("FQTOOL_TPU_NATIVE_DIR",
+                          os.path.join(_HERE, "..", "native"))
+_LIB = os.path.join(_LIB_DIR, "libfastq_core.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _build() -> bool:
+    try:
+        cmd = ["g++", "-std=c++17", "-O3", "-shared", "-fPIC",
+               "-o", _LIB, _SRC]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:  # pragma: no cover - toolchain issues
+        sys.stderr.write(f"fastq_core native build failed ({e}); "
+                         "falling back to pure Python\n")
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("FQTOOL_TPU_NO_NATIVE"):
+            return None
+        if not os.path.exists(_LIB) or \
+                os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        lib.fq_parse.restype = ctypes.c_int64
+        lib.fq_parse.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            _i64p, _i32p, _i64p, _i32p, _i64p, _i32p, _i64p, _i32p,
+            _i64p, _i32p]
+        lib.fq_pack.restype = None
+        lib.fq_pack.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, _i64p, _i32p, _i64p,
+            _u8p, _u8p, ctypes.c_int64, ctypes.c_int32]
+        lib.fq_format.restype = ctypes.c_int64
+        lib.fq_format.argtypes = [
+            ctypes.c_int64, _u8p,
+            ctypes.c_char_p, _i64p, _i32p,
+            ctypes.c_char_p, _i64p, _i32p,
+            _u8p, _u8p, ctypes.c_int64,
+            _i32p, _i32p,
+            ctypes.c_char_p, _i64p, _i32p,
+            ctypes.c_char_p]
+        _lib = lib
+        return _lib
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctype)
+
+
+def parse_buffer(buf: bytes, max_records: int, final: bool):
+    """Native tokenize: returns (n, spans dict, consumed, error)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    name_off = np.empty(max_records, np.int64)
+    name_len = np.empty(max_records, np.int32)
+    seq_off = np.empty(max_records, np.int64)
+    seq_len = np.empty(max_records, np.int32)
+    strand_off = np.empty(max_records, np.int64)
+    strand_len = np.empty(max_records, np.int32)
+    qual_off = np.empty(max_records, np.int64)
+    qual_len = np.empty(max_records, np.int32)
+    consumed = np.zeros(1, np.int64)
+    error = np.zeros(1, np.int32)
+    n = lib.fq_parse(buf, len(buf), max_records, int(final),
+                     _ptr(name_off, _i64p), _ptr(name_len, _i32p),
+                     _ptr(seq_off, _i64p), _ptr(seq_len, _i32p),
+                     _ptr(strand_off, _i64p), _ptr(strand_len, _i32p),
+                     _ptr(qual_off, _i64p), _ptr(qual_len, _i32p),
+                     _ptr(consumed, _i64p), _ptr(error, _i32p))
+    return (int(n), dict(name_off=name_off[:n], name_len=name_len[:n],
+                         seq_off=seq_off[:n], seq_len=seq_len[:n],
+                         strand_off=strand_off[:n], strand_len=strand_len[:n],
+                         qual_off=qual_off[:n], qual_len=qual_len[:n]),
+            int(consumed[0]), int(error[0]))
+
+
+def pack_spans(buf: bytes, spans: dict, width: int, phred64: bool):
+    """Native pack of seq/qual spans into [n, width] matrices."""
+    lib = get_lib()
+    n = len(spans["seq_off"])
+    seq = np.empty((n, width), np.uint8)
+    qual = np.empty((n, width), np.uint8)
+    lib.fq_pack(buf, n,
+                _ptr(np.ascontiguousarray(spans["seq_off"]), _i64p),
+                _ptr(np.ascontiguousarray(spans["seq_len"]), _i32p),
+                _ptr(np.ascontiguousarray(spans["qual_off"]), _i64p),
+                _ptr(seq, _u8p), _ptr(qual, _u8p), width, int(phred64))
+    return seq, qual
+
+
+def format_records(select: np.ndarray,
+                   names_buf: bytes, name_off: np.ndarray, name_len: np.ndarray,
+                   strands_buf: bytes, strand_off: np.ndarray, strand_len: np.ndarray,
+                   seq: np.ndarray, qual: np.ndarray,
+                   start: np.ndarray, out_len: np.ndarray,
+                   tags: Optional[Tuple[bytes, np.ndarray, np.ndarray]] = None) -> bytes:
+    """Native record materialization; returns the serialized FASTQ bytes."""
+    lib = get_lib()
+    n = len(select)
+    sel = np.ascontiguousarray(select, np.uint8)
+    start = np.ascontiguousarray(start, np.int32)
+    out_len = np.ascontiguousarray(out_len, np.int32)
+    name_off = np.ascontiguousarray(name_off, np.int64)
+    name_len = np.ascontiguousarray(name_len, np.int32)
+    strand_off = np.ascontiguousarray(strand_off, np.int64)
+    strand_len = np.ascontiguousarray(strand_len, np.int32)
+    if tags is not None:
+        tags_buf, tag_off, tag_len = tags
+        tag_off = np.ascontiguousarray(tag_off, np.int64)
+        tag_len = np.ascontiguousarray(tag_len, np.int32)
+        extra = np.where(tag_len > 0, tag_len + 1, 0)
+    else:
+        tags_buf, tag_off, tag_len = None, None, None  # NULL => no tags in C
+        extra = 0
+    m = sel.astype(bool)
+    total = int(np.sum((name_len + 1 + out_len + 1 + strand_len + 1 + out_len + 1
+                        + extra)[m], dtype=np.int64))
+    out = ctypes.create_string_buffer(total)
+    written = lib.fq_format(
+        n, _ptr(sel, _u8p),
+        names_buf, _ptr(name_off, _i64p), _ptr(name_len, _i32p),
+        strands_buf, _ptr(strand_off, _i64p), _ptr(strand_len, _i32p),
+        _ptr(np.ascontiguousarray(seq), _u8p),
+        _ptr(np.ascontiguousarray(qual), _u8p), seq.shape[1],
+        _ptr(start, _i32p), _ptr(out_len, _i32p),
+        tags_buf,
+        _ptr(tag_off, _i64p) if tag_off is not None else None,
+        _ptr(tag_len, _i32p) if tag_len is not None else None,
+        out)
+    return out.raw[:written]

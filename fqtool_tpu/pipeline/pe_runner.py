@@ -1,0 +1,484 @@
+"""Pair-end host runtime.
+
+Drives ``pe_pipeline`` over pair packs and reproduces the output routing of
+``PairEndProcessor::processPairEnd`` (reference: src/peprocessor.cpp:261-508):
+out1/out2 for passing pairs, unpaired streams, failed stream with tags
+(including the r1-tagged-with-result2 slip at peprocessor.cpp:420), merged
+stream in merge mode, insert-size histogram, and the full report set.
+
+Packs are processed in fixed-size device chunks (padded with masked rows) to
+bound the [B, offsets, L] working set of the all-offsets overlap analysis.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+
+from ..config.options import Options
+from ..host import report_json
+from ..host.duplicate import DuplicateTable
+from ..host.filterresult import FilterResultAccumulator
+from ..host.stats import StatsAccumulator
+from ..host.umi import first_index, process_umi
+from ..io.fastq import OutputWriter, ReadPack, format_record, iter_packs_paired
+from ..ops.filters import FAILED_TYPES, PASS_FILTER
+from .pe import pe_pipeline
+from .runner import SplitWriter, index_match, loginfo
+
+PE_CHUNK = int(os.environ.get("FQTOOL_TPU_PE_CHUNK", "4096"))
+
+
+def _pad_rows(a: np.ndarray, n: int):
+    if a.shape[0] == n:
+        return a
+    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad)
+
+
+class PairEndRunner:
+    def __init__(self, opt: Options):
+        self.opt = opt
+        self.p1 = opt.kernel_params(is_r2=False)
+        self.p2 = opt.kernel_params(is_r2=True)
+        self.pre1 = self._make_stats(False)
+        self.pre2 = self._make_stats(True)
+        self.post1 = self._make_stats(False)
+        self.post2 = self._make_stats(True)
+        self.filter_result = FilterResultAccumulator(opt, paired=True)
+        self.dup = (DuplicateTable(opt.duplicate.keylen, opt.duplicate.hist_size)
+                    if opt.duplicate.enabled else None)
+        self.insert_hist = np.zeros(opt.insert_size_max + 1, np.int64)
+        self._pre_counter = 0
+        self._post1_counter = 0
+        self._post2_counter = 0
+        self.adapter_r1, self.adapter_r2 = self._effective_adapters()
+
+    def _make_stats(self, is_r2: bool) -> StatsAccumulator:
+        opt = self.opt
+        return StatsAccumulator(
+            evaluated_seq_len=opt.est.seq_len2 if is_r2 else opt.est.seq_len1,
+            kmer_len=opt.kmer.kmer_len if opt.kmer.enabled else 0,
+            over_rep_sampling=opt.over_rep.sampling if opt.over_rep.enabled else 0,
+            over_rep_seqs=(opt.over_rep.over_rep_seq_count_r2 if is_r2
+                           else opt.over_rep.over_rep_seq_count_r1),
+        )
+
+    def _effective_adapters(self):
+        # PE by-sequence fallback only uses explicitly provided adapters
+        # (peprocessor.cpp:319-324)
+        a1 = a2 = b""
+        if self.opt.adapter.enable_trimming:
+            if self.opt.adapter.adapter_seq_r1_provided:
+                a1 = self.opt.adapter.input_adapter_seq_r1.encode()
+            if self.opt.adapter.adapter_seq_r2_provided:
+                a2 = self.opt.adapter.input_adapter_seq_r2.encode()
+        return a1, a2
+
+    # ------------------------------------------------------------------
+    def run(self) -> None:
+        opt = self.opt
+        split = SplitWriter(opt, paired=True) if opt.split.enabled else None
+        w_out1 = (OutputWriter(opt.out1, opt.compression)
+                  if opt.out1 and not opt.split.enabled else None)
+        w_out2 = (OutputWriter(opt.out2, opt.compression)
+                  if opt.out2 and not opt.split.enabled else None)
+        w_unpaired1 = OutputWriter(opt.unpaired1, opt.compression) if opt.unpaired1 else None
+        w_unpaired2 = None
+        if opt.unpaired2 and opt.unpaired2 != opt.unpaired1:
+            w_unpaired2 = OutputWriter(opt.unpaired2, opt.compression)
+        w_merged = (OutputWriter(opt.merge_pe.out, opt.compression)
+                    if opt.merge_pe.enabled and opt.merge_pe.out else None)
+        w_failed = OutputWriter(opt.failed_out, opt.compression) if opt.failed_out else None
+
+        total = 0
+        for pack1, pack2 in iter_packs_paired(
+                opt.in1, opt.in2, opt.interleaved_input,
+                opt.buf_size.max_reads_in_pack, opt.phred64):
+            r = self.process_pack(pack1, pack2,
+                                  has_unpaired1=w_unpaired1 is not None,
+                                  want_failed=w_failed is not None)
+            total += pack1.count
+            if split is not None:
+                split.write(r["out1"], r["out2"])
+                split.mark_processed(
+                    r["read_passed"] if opt.split.by_file_lines else pack1.count)
+            else:
+                # pair output requires BOTH writers (peprocessor.cpp:469-475):
+                # with only -o and no -O, passing pairs go nowhere
+                if w_out1 is not None and w_out2 is not None:
+                    w_out1.write(r["out1"])
+                    w_out2.write(r["out2"])
+            if w_unpaired1 is not None:
+                w_unpaired1.write(r["unpaired1"])
+            if w_unpaired2 is not None:
+                w_unpaired2.write(r["unpaired2"])
+            if w_merged is not None:
+                w_merged.write(r["merged"])
+            if w_failed is not None:
+                w_failed.write(r["failed"])
+        loginfo(f"processed {total} read pairs")
+
+        for w in (split, w_out1, w_out2, w_unpaired1, w_unpaired2, w_merged, w_failed):
+            if w is not None:
+                w.close()
+        self.write_reports()
+
+    # ------------------------------------------------------------------
+    def process_pack(self, pack1: ReadPack, pack2: ReadPack,
+                     has_unpaired1: bool, want_failed: bool) -> dict:
+        opt = self.opt
+        B = pack1.count
+        keep = np.ones(B, bool)
+        if opt.index_filter.enabled:
+            for i in range(B):
+                if (index_match(opt.index_filter.blacklist1,
+                                first_index(pack1.name(i)), opt.index_filter.threshold)
+                        or index_match(opt.index_filter.blacklist2,
+                                       first_index(pack2.name(i)), opt.index_filter.threshold)):
+                    keep[i] = False
+        start1, start2 = process_umi(opt, pack1, pack2)
+
+        parts: dict = {k: [] for k in
+                       ("out1", "out2", "unpaired1", "unpaired2", "merged", "failed")}
+        read_passed = 0
+        merged_count = 0
+
+        for lo in range(0, B, PE_CHUNK):
+            hi = min(lo + PE_CHUNK, B)
+            n = hi - lo
+            real = np.zeros(PE_CHUNK, bool)
+            real[:n] = True
+            out = pe_pipeline(
+                _pad_rows(pack1.seq[lo:hi], PE_CHUNK),
+                _pad_rows(pack1.qual[lo:hi], PE_CHUNK),
+                _pad_rows(pack1.lens[lo:hi], PE_CHUNK),
+                _pad_rows(pack2.seq[lo:hi], PE_CHUNK),
+                _pad_rows(pack2.qual[lo:hi], PE_CHUNK),
+                _pad_rows(pack2.lens[lo:hi], PE_CHUNK),
+                _pad_rows(start1[lo:hi], PE_CHUNK),
+                _pad_rows(start2[lo:hi], PE_CHUNK),
+                _pad_rows(keep[lo:hi], PE_CHUNK),
+                real,
+                self.p1, self.p2,
+                adapter_r1=self.adapter_r1,
+                adapter_r2=self.adapter_r2,
+                use_start0=bool(opt.umi.enabled),
+                with_kmer=bool(opt.kmer.enabled),
+                discard_unmerged=bool(opt.merge_pe.discard_unmerged),
+            )
+            out = jax.device_get(out)
+            rp, mc = self._fold_chunk(out, pack1, pack2, lo, n, keep, start1, start2,
+                                      parts, has_unpaired1, want_failed)
+            read_passed += rp
+            merged_count += mc
+
+        if opt.merge_pe.enabled:
+            self.filter_result.add_merged_pairs(merged_count)
+        return {k: b"".join(v) for k, v in parts.items()} | {"read_passed": read_passed}
+
+    # ------------------------------------------------------------------
+    def _fold_chunk(self, out, pack1, pack2, lo, n, keep, start1, start2,
+                    parts, has_unpaired1, want_failed):
+        opt = self.opt
+        # stats --------------------------------------------------------
+        self.pre1.add_batch(out["pre1"])
+        self.pre2.add_batch(out["pre2"])
+        for key, acc in (("pre1_kmer", self.pre1), ("pre2_kmer", self.pre2),
+                         ("post1_kmer", self.post1), ("post2_kmer", self.post2),
+                         ("postM_kmer", self.post1)):
+            if key in out:
+                acc.add_kmer(out[key])
+        self.post1.add_batch(out["post1"])
+        self.post2.add_batch(out["post2"])
+        if "postM" in out:
+            self.post1.add_batch(out["postM"])
+        if self.dup is not None:
+            d = out["dup"]
+            valid = np.asarray(d.valid).copy()
+            valid[n:] = False
+            self.dup.add_batch(np.asarray(d.key), np.asarray(d.kmer_hi),
+                               np.asarray(d.kmer_lo), np.asarray(d.gc), valid)
+
+        kchunk = keep[lo : lo + n]
+        result1 = np.asarray(out["result1"])[:n]
+        result2 = np.asarray(out["result2"])[:n]
+        front1 = np.asarray(out["front1"])[:n]
+        front2 = np.asarray(out["front2"])[:n]
+        rlen1 = np.asarray(out["rlen1"])[:n]
+        rlen2 = np.asarray(out["rlen2"])[:n]
+        dropped1 = np.asarray(out["dropped1"])[:n]
+        dropped2 = np.asarray(out["dropped2"])[:n]
+        both = ~dropped1 & ~dropped2
+
+        # content accessors (corrected arrays when correction is on) ----
+        if "seq1" in out:
+            cseq1 = np.asarray(out["seq1"])
+            cqual1 = np.asarray(out["qual1"])
+            cseq2 = np.asarray(out["seq2"])
+            cqual2 = np.asarray(out["qual2"])
+
+            def content1(i, start, length):
+                return cseq1[i, start : start + length].tobytes(), \
+                    cqual1[i, start : start + length].tobytes()
+
+            def content2(i, start, length):
+                return cseq2[i, start : start + length].tobytes(), \
+                    cqual2[i, start : start + length].tobytes()
+            base1 = np.zeros(n, np.int32)
+            base2 = np.zeros(n, np.int32)
+        else:
+            def content1(i, start, length):
+                return pack1.seq[lo + i, start : start + length].tobytes(), \
+                    pack1.qual[lo + i, start : start + length].tobytes()
+
+            def content2(i, start, length):
+                return pack2.seq[lo + i, start : start + length].tobytes(), \
+                    pack2.qual[lo + i, start : start + length].tobytes()
+            base1 = front1
+            base2 = front2
+
+        # insert size --------------------------------------------------
+        if "isize" in out:
+            isz = np.asarray(out["isize"])[:n]
+            vmask = np.asarray(out["isize_valid"])[:n] & kchunk
+            np.add.at(self.insert_hist, isz[vmask], 1)
+
+        # correction counters -----------------------------------------
+        if "correction_matrix" in out:
+            self.filter_result.add_correction(np.asarray(out["correction_matrix"]))
+            c1 = np.asarray(out["corrected1"])[:n]
+            c2 = np.asarray(out["corrected2"])[:n]
+            did = (c1 + c2) > 0
+            self.filter_result.inc_corrected_reads(
+                int(np.sum(did & (c1 > 0) & (c2 > 0)) * 2
+                    + np.sum(did & ~((c1 > 0) & (c2 > 0)))))
+
+        # polyG / polyX events ----------------------------------------
+        for side in (1, 2):
+            gk = f"polyg_trimmed{side}"
+            if gk in out:
+                m = np.asarray(out[gk])[:n] & kchunk
+                self.filter_result.add_polyx_trimmed(
+                    np.full(n, 3), np.asarray(out[f"polyg_trim_len{side}"])[:n], m)
+            xk = f"polyx_trimmed{side}"
+            if xk in out:
+                m = np.asarray(out[xk])[:n] & kchunk
+                self.filter_result.add_polyx_trimmed(
+                    np.asarray(out[f"polyx_base{side}"])[:n],
+                    np.asarray(out[f"polyx_trim_len{side}"])[:n], m)
+
+        # adapter events -----------------------------------------------
+        if "ov_trimmed" in out:
+            ovm = np.asarray(out["ov_trimmed"])[:n] & kchunk
+            lb1 = np.asarray(out["len1_before_ov_trim"])[:n]
+            lb2 = np.asarray(out["len2_before_ov_trim"])[:n]
+            la1 = np.asarray(out["len_after_adapter1"])[:n]
+            for i in np.flatnonzero(ovm):
+                ol = int(la1[i])  # both trimmed to overlap length
+                a1, _ = content1(i, base1[i] + ol, int(lb1[i]) - ol)
+                a2, _ = content2(i, base2[i] + ol, int(lb2[i]) - ol)
+                self.filter_result.add_adapter_trimmed_pair(a1, a2)
+        for side, adapter in ((1, self.adapter_r1), (2, self.adapter_r2)):
+            k = f"adapter_found{side}"
+            if k in out:
+                found = np.asarray(out[k])[:n] & kchunk
+                pos = np.asarray(out[f"adapter_pos{side}"])[:n]
+                before = (np.asarray(out["len1_before_ov_trim"])[:n] if
+                          f"len1_before_ov_trim" in out and side == 1 else None)
+                # length before by-sequence trim == length before overlap trim
+                # for non-ov-trimmed reads (the stage input length)
+                lb = np.asarray(out[f"len{side}_before_ov_trim"])[:n] \
+                    if f"len{side}_before_ov_trim" in out else \
+                    np.asarray(out[f"len_after_adapter{side}"])[:n]
+                content = content1 if side == 1 else content2
+                basex = base1 if side == 1 else base2
+                alen = len(adapter)
+                for i in np.flatnonzero(found):
+                    p = int(pos[i])
+                    if p < 0:
+                        a = adapter[-p: alen]
+                    else:
+                        a, _ = content(i, basex[i] + p, int(lb[i]) - p)
+                    self.filter_result.add_adapter_trimmed(a, is_r2=(side == 2))
+
+        # ORA pre sampling ---------------------------------------------
+        if opt.over_rep.enabled:
+            sampling = opt.over_rep.sampling
+            for i in range(n):
+                if self._pre_counter % sampling == 0:
+                    self.pre1.add_over_rep_read(
+                        pack1.seq[lo + i, : pack1.lens[lo + i]].tobytes())
+                    self.pre2.add_over_rep_read(
+                        pack2.seq[lo + i, : pack2.lens[lo + i]].tobytes())
+                self._pre_counter += 1
+
+        # routing ------------------------------------------------------
+        merge_on = opt.merge_pe.enabled
+        discard_unmerged = opt.merge_pe.discard_unmerged
+        if merge_on:
+            mergeable = np.asarray(out["mergeable"])[:n]
+            resultM = np.asarray(out["resultM"])[:n]
+            m_rlen = np.asarray(out["merged_rlen"])[:n]
+            m_len1 = np.asarray(out["merged_len1"])[:n]
+            m_len2 = np.asarray(out["merged_len2"])[:n]
+            m_seq = np.asarray(out["merged_seq"])
+            m_qual = np.asarray(out["merged_qual"])
+
+        sampling = opt.over_rep.sampling if opt.over_rep.enabled else 0
+        read_passed = 0
+        merged_count = 0
+        fr = self.filter_result
+
+        # The reference trims (and corrects) reads IN PLACE, so or1/or2 in the
+        # failed stream carry the final trimmed content -- unless trimAndCut
+        # dropped the read before mutating it (filter.cpp:75-98,186-188).
+        def failed_rec1(i, tag):
+            if dropped1[i]:
+                return self._orig_record(pack1, lo + i, start1, tag)
+            s, q = content1(i, base1[i], int(rlen1[i]))
+            return format_record(pack1.name(lo + i), s, pack1.strand(lo + i), q, tag=tag)
+
+        def failed_rec2(i, tag):
+            if dropped2[i]:
+                return self._orig_record(pack2, lo + i, start2, tag)
+            s, q = content2(i, base2[i], int(rlen2[i]))
+            return format_record(pack2.name(lo + i), s, pack2.strand(lo + i), q, tag=tag)
+        for i in range(n):
+            if not kchunk[i]:
+                continue
+            r1_null = dropped1[i]
+            r2_null = dropped2[i]
+            pass1 = (not r1_null) and result1[i] == PASS_FILTER
+            pass2 = (not r2_null) and result2[i] == PASS_FILTER
+            merge_processed = False
+            if merge_on and not r1_null and not r2_null:
+                if mergeable[i]:
+                    fr.add_filter_result(int(resultM[i]), 2)
+                    if resultM[i] == PASS_FILTER:
+                        name = _merged_name(pack1.name(lo + i),
+                                            int(m_len1[i]), int(m_len2[i]))
+                        parts["merged"].append(format_record(
+                            name, m_seq[i, : m_rlen[i]].tobytes(),
+                            pack1.strand(lo + i), m_qual[i, : m_rlen[i]].tobytes()))
+                        read_passed += 1
+                        merged_count += 1
+                        self._post1_counter += 1
+                    merge_processed = True
+                elif not discard_unmerged:
+                    fr.add_filter_result(int(result1[i]), 1)
+                    if pass1:
+                        s, q = content1(i, base1[i], int(rlen1[i]))
+                        parts["merged"].append(format_record(
+                            pack1.name(lo + i), s, pack1.strand(lo + i), q))
+                        self._post1_counter += 1
+                    fr.add_filter_result(int(result2[i]), 1)
+                    if pass2:
+                        s, q = content2(i, base2[i], int(rlen2[i]))
+                        parts["merged"].append(format_record(
+                            pack2.name(lo + i), s, pack2.strand(lo + i), q))
+                        self._post2_counter += 1
+                    if pass1 and pass2:
+                        read_passed += 1
+                    merge_processed = True
+
+            if merge_processed:
+                continue
+            fr.add_filter_result(max(int(result1[i]), int(result2[i])), 2)
+            if pass1 and pass2:
+                s1b, q1b = content1(i, base1[i], int(rlen1[i]))
+                s2b, q2b = content2(i, base2[i], int(rlen2[i]))
+                parts["out1"].append(format_record(
+                    pack1.name(lo + i), s1b, pack1.strand(lo + i), q1b))
+                parts["out2"].append(format_record(
+                    pack2.name(lo + i), s2b, pack2.strand(lo + i), q2b))
+                read_passed += 1
+                if not merge_on and sampling:
+                    if self._post1_counter % sampling == 0:
+                        self.post1.add_over_rep_read(s1b)
+                    self._post1_counter += 1
+                    if self._post2_counter % sampling == 0:
+                        self.post2.add_over_rep_read(s2b)
+                    self._post2_counter += 1
+            elif pass1:
+                if has_unpaired1:
+                    s, q = content1(i, base1[i], int(rlen1[i]))
+                    parts["unpaired1"].append(format_record(
+                        pack1.name(lo + i), s, pack1.strand(lo + i), q))
+                    if want_failed:
+                        parts["failed"].append(failed_rec2(
+                            i, FAILED_TYPES[int(result2[i])].encode()))
+                else:
+                    if want_failed:
+                        parts["failed"].append(failed_rec1(
+                            i, b"paired_read_is_failing"))
+                        parts["failed"].append(failed_rec2(
+                            i, FAILED_TYPES[int(result2[i])].encode()))
+            elif pass2:
+                if has_unpaired1:
+                    # reference checks the LEFT unpaired writer here
+                    # (peprocessor.cpp:417) and tags or1 with result2
+                    # (peprocessor.cpp:420)
+                    s, q = content2(i, base2[i], int(rlen2[i]))
+                    parts["unpaired2"].append(format_record(
+                        pack2.name(lo + i), s, pack2.strand(lo + i), q))
+                    if want_failed:
+                        parts["failed"].append(failed_rec1(
+                            i, FAILED_TYPES[int(result2[i])].encode()))
+                else:
+                    if want_failed:
+                        parts["failed"].append(failed_rec1(
+                            i, FAILED_TYPES[int(result1[i])].encode()))
+                        parts["failed"].append(failed_rec2(
+                            i, b"paired_read_is_failing"))
+        return read_passed, merged_count
+
+    @staticmethod
+    def _orig_record(pack: ReadPack, i: int, start0: np.ndarray, tag: bytes) -> bytes:
+        s0 = int(start0[i])
+        n0 = int(pack.lens[i]) - s0
+        return format_record(pack.name(i), pack.seq[i, s0 : s0 + n0].tobytes(),
+                             pack.strand(i), pack.qual[i, s0 : s0 + n0].tobytes(),
+                             tag=tag)
+
+    # ------------------------------------------------------------------
+    def get_peak_insert_size(self) -> int:
+        """reference: src/peprocessor.cpp:249-259 (first max wins)."""
+        peak, max_count = 0, -1
+        for i in range(self.opt.insert_size_max):
+            if self.insert_hist[i] > max_count:
+                peak = i
+                max_count = int(self.insert_hist[i])
+        return peak
+
+    def write_reports(self) -> None:
+        opt = self.opt
+        dup_hist = dup_gc = None
+        dup_rate = 0.0
+        if self.dup is not None:
+            dup_hist, dup_gc, dup_rate = self.dup.stat_all()
+        peak = self.get_peak_insert_size()
+        report = report_json.build_report(
+            opt, self.filter_result, self.pre1, self.post1, self.pre2, self.post2,
+            dup_hist=dup_hist, dup_mean_gc=dup_gc, dup_rate=dup_rate,
+            insert_hist=self.insert_hist, insert_peak=peak)
+        report_json.write_report(opt.json_file, report)
+        from ..host import report_html
+        report_html.write_report(opt, self.filter_result, self.pre1, self.post1,
+                                 self.pre2, self.post2, dup_hist, dup_gc, dup_rate,
+                                 self.insert_hist, peak)
+
+
+def _merged_name(name: bytes, len1: int, len2: int) -> bytes:
+    """Merged read naming with the reference's off-by-one
+    (overlapanalysis.cpp:94-101): drops the character before the first space;
+    a name with no space is dropped entirely."""
+    tag = b"_merged_%d_%d" % (len1, len2)
+    pos = name.find(b" ")
+    if pos < 0:
+        return tag
+    return name[: pos - 1] + tag + name[pos:]

@@ -25,9 +25,21 @@ from ..host.duplicate import DuplicateTable
 from ..host.filterresult import FilterResultAccumulator
 from ..host.stats import StatsAccumulator
 from ..host.umi import first_index, process_umi
-from ..io.fastq import OutputWriter, ReadPack, format_record, iter_packs
+from ..io.fastq import (OutputWriter, ReadPack, format_record, format_selected,
+                        iter_packs)
 from ..ops.filters import FAILED_TYPES
 from .se import se_pipeline
+
+# tag catalog for failed-stream suffixes: one buffer + per-code offsets
+_TAG_BUF = b"".join(t.encode() for t in FAILED_TYPES)
+_TAG_LEN = np.array([len(t) for t in FAILED_TYPES], np.int32)
+_TAG_OFF = np.zeros(len(FAILED_TYPES), np.int64)
+np.cumsum(_TAG_LEN[:-1], out=_TAG_OFF[1:])
+
+
+def failed_tags(results: np.ndarray):
+    """(buf, off, len) tag triple for format_selected from result codes."""
+    return _TAG_BUF, _TAG_OFF[results], _TAG_LEN[results]
 
 
 def loginfo(msg: str) -> None:
@@ -93,24 +105,28 @@ class SplitWriter:
             self.w2.write(data2)
 
     def mark_processed(self, n: int) -> None:
-        """reference: src/threadconfig.cpp:107-127 (single-worker form)."""
+        """reference: src/threadconfig.cpp:107-127.
+
+        Our runner is always a single deterministic worker, so `-w` is a
+        performance hint only: split rotation always follows the reference's
+        one-worker behavior (sequential file numbering; with -s, excess reads
+        accumulate in the last file since number % 1 == 0 never stops the
+        worker).
+        """
         self.current_reads += n
         opt = self.opt
         if self.current_reads >= opt.split.size:
-            if opt.split.by_file_lines or self.working_split + opt.thread < opt.split.number:
-                self.working_split += opt.thread
+            if opt.split.by_file_lines or self.working_split + 1 < opt.split.number:
+                self.working_split += 1
                 self._open()
                 self.current_reads = 0
-            else:
-                if opt.split.number % opt.thread > 0 and 0 >= opt.split.number % opt.thread:
-                    self.stopped = True
 
     def close(self) -> None:
         # write empty files to honor --split_file_number
         # (threadconfig.cpp:131-137)
         if self.opt.split.by_file_number:
-            while self.working_split + self.opt.thread < self.opt.split.number:
-                self.working_split += self.opt.thread
+            while self.working_split + 1 < self.opt.split.number:
+                self.working_split += 1
                 self._open()
                 self.current_reads = 0
         if self.w1:
@@ -185,7 +201,7 @@ class SingleEndRunner:
         keep = np.ones(B, bool)
         if opt.index_filter.enabled:
             for i in range(B):
-                if index_match(opt.index_filter.blacklist1, first_index(pack.names[i]),
+                if index_match(opt.index_filter.blacklist1, first_index(pack.name(i)),
                                opt.index_filter.threshold):
                     keep[i] = False
         start0, _ = process_umi(opt, pack)
@@ -257,34 +273,32 @@ class SingleEndRunner:
                 self._pre_counter += 1
 
         # output strings ------------------------------------------------
-        out_parts: List[bytes] = []
-        failed_parts: List[bytes] = []
-        read_passed = 0
-        want_failed = bool(opt.failed_out)
-        sampling = opt.over_rep.sampling if opt.over_rep.enabled else 0
-        for i in range(B):
-            if not keep[i]:
-                continue
-            if passed[i]:
-                s, n = int(front[i]), int(rlen[i])
-                out_parts.append(format_record(
-                    pack.names[i], pack.seq[i, s : s + n].tobytes(),
-                    pack.strands[i], pack.qual[i, s : s + n].tobytes()))
-                if sampling:
-                    if self._post_counter % sampling == 0:
-                        self.post_stats.add_over_rep_read(pack.seq[i, s : s + n].tobytes())
-                    self._post_counter += 1
-                read_passed += 1
-            elif want_failed:
-                # failed output carries the post-UMI original read
-                # (seprocessor.cpp:346-348)
-                s0 = int(start0[i])
-                n0 = int(pack.lens[i]) - s0
-                failed_parts.append(format_record(
-                    pack.names[i], pack.seq[i, s0 : s0 + n0].tobytes(),
-                    pack.strands[i], pack.qual[i, s0 : s0 + n0].tobytes(),
-                    tag=FAILED_TYPES[int(result[i])].encode()))
-        return b"".join(out_parts), b"".join(failed_parts), read_passed
+        select_pass = passed & keep
+        outstr = format_selected(pack, select_pass, front, rlen)
+        read_passed = int(select_pass.sum())
+
+        if opt.over_rep.enabled:
+            sampling = opt.over_rep.sampling
+            for i in np.flatnonzero(select_pass):
+                if self._post_counter % sampling == 0:
+                    s, n = int(front[i]), int(rlen[i])
+                    self.post_stats.add_over_rep_read(pack.seq[i, s : s + n].tobytes())
+                self._post_counter += 1
+
+        failedstr = b""
+        if opt.failed_out:
+            # the reference trims reads IN PLACE (trimAndCut returns the same
+            # object, filter.cpp:186-188), so the failed stream carries the
+            # fully trimmed read -- except for dropped reads (trimAndCut
+            # returned NULL before mutating), which stay at their post-UMI
+            # original content (seprocessor.cpp:346-348)
+            select_fail = keep & ~passed
+            f_start = np.where(dropped, start0, front).astype(np.int32)
+            f_len = np.where(dropped, np.asarray(pack.lens) - start0,
+                             rlen).astype(np.int32)
+            failedstr = format_selected(pack, select_fail, f_start, f_len,
+                                        tags=failed_tags(result))
+        return outstr, failedstr, read_passed
 
     # ------------------------------------------------------------------
     def write_reports(self) -> None:

@@ -78,10 +78,21 @@ def read_fastq(path) -> List[Tuple[bytes, bytes, bytes, bytes]]:
 
 def compare_json(a: dict, b: dict, path: str = "", rel_tol: float = 1e-9) -> List[str]:
     """Recursively compare reports; returns a list of difference descriptions.
-    The Software section (cwd/command/version) is skipped."""
+
+    Skipped paths:
+      * the Software section (cwd/command/version differ by construction);
+      * Duplication.Histogram bins >= 16: the reference SE path half-clears
+        the histogram buffer (memset with sizeof(int) instead of
+        sizeof(size_t), seprocessor.cpp:245), so the upper bins contain heap
+        garbage in the oracle output.  We do not reproduce undefined behavior.
+    """
     diffs: List[str] = []
     if path == "/Software" or path.startswith("/Software/"):
         return diffs
+    if path.startswith("/Duplication/Histogram["):
+        idx = int(path.split("[")[1].rstrip("]"))
+        if idx >= 16:
+            return diffs
     if isinstance(a, dict) and isinstance(b, dict):
         for k in sorted(set(a) | set(b)):
             if k not in a:

@@ -1,0 +1,135 @@
+"""Golden tests for the long tail of features: UMI, phred64, split output,
+interleaved input, ORA, index filtering, report title/paths."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import shutil
+from pathlib import Path
+
+import pytest
+
+from .oracle import TESTDATA, compare_json, diff_fastq, read_fastq
+from .test_golden_se import run_ours
+
+R1 = TESTDATA / "r1.fq.gz"
+R2 = TESTDATA / "r2.fq.gz"
+
+
+def check(oracle, tmp_path, args, outputs, oracle_args=None):
+    ours_dir = tmp_path / "ours"
+    oracle_dir = tmp_path / "oracle"
+    res = oracle.run((oracle_args or args) + ["-w", "1"], oracle_dir)
+    assert res.returncode == 0, res.stderr
+    run_ours(args, ours_dir)
+    for name in outputs:
+        d = diff_fastq(read_fastq(ours_dir / name), read_fastq(oracle_dir / name))
+        assert not d, f"{name}: " + "\n".join(d)
+    with open(ours_dir / "report.json") as f:
+        ours_json = json.load(f)
+    diffs = compare_json(ours_json, res.json_report())
+    assert not diffs, "\n".join(diffs[:40])
+
+
+def test_umi_read1(oracle, tmp_path):
+    check(oracle, tmp_path,
+          ["-i", str(R1), "-o", "out.fq.gz", "-u", "--umi_location", "3",
+           "--umi_length", "8"],
+          ["out.fq.gz"])
+
+
+def test_umi_index1_pe(oracle, tmp_path):
+    check(oracle, tmp_path,
+          ["-i", str(R1), "-I", str(R2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
+           "-u", "--umi_location", "1"],
+          ["o1.fq.gz", "o2.fq.gz"])
+
+
+def test_umi_per_read_skip(oracle, tmp_path):
+    check(oracle, tmp_path,
+          ["-i", str(R1), "-I", str(R2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
+           "-u", "--umi_location", "6", "--umi_length", "6",
+           "--umi_skip_length", "2"],
+          ["o1.fq.gz", "o2.fq.gz"])
+
+
+def test_ora(oracle, tmp_path):
+    check(oracle, tmp_path,
+          ["-i", str(R1), "-o", "out.fq.gz", "-q", "--ora"],
+          ["out.fq.gz"])
+
+
+def test_interleaved(oracle, tmp_path):
+    # build an interleaved input from r1/r2
+    inter = tmp_path / "inter.fq"
+    recs1 = read_fastq(R1)
+    recs2 = read_fastq(R2)
+    with open(inter, "wb") as f:
+        for a, b in zip(recs1[:4000], recs2[:4000]):
+            f.write(b"\n".join(a) + b"\n")
+            f.write(b"\n".join(b) + b"\n")
+    check(oracle, tmp_path,
+          ["-i", str(inter), "-o", "o1.fq.gz", "--in_fq_interleaved", "-q"],
+          ["o1.fq.gz"])
+
+
+def test_split_by_lines(oracle, tmp_path):
+    args = ["-i", str(R1), "-o", "out.fq", "-q", "-S", "--splie_file_line", "3000",
+            "--max_item_in_pack", "2500"]
+    ours_dir = tmp_path / "ours"
+    oracle_dir = tmp_path / "oracle"
+    res = oracle.run(args + ["-w", "1"], oracle_dir)
+    assert res.returncode == 0, res.stderr
+    run_ours(args, ours_dir)
+    ours_files = sorted(p.name for p in ours_dir.glob("*.out.fq"))
+    ref_files = sorted(p.name for p in oracle_dir.glob("*.out.fq"))
+    assert ours_files == ref_files, (ours_files, ref_files)
+    for name in ref_files:
+        d = diff_fastq(read_fastq(ours_dir / name), read_fastq(oracle_dir / name))
+        assert not d, f"{name}: " + "\n".join(d)
+
+
+def test_split_by_file_number(oracle, tmp_path):
+    args = ["-i", str(R1), "-o", "out.fq", "-q", "-s", "--split_file_number", "4",
+            "--max_item_in_pack", "1000"]
+    ours_dir = tmp_path / "ours"
+    oracle_dir = tmp_path / "oracle"
+    res = oracle.run(args + ["-w", "1"], oracle_dir)
+    assert res.returncode == 0, res.stderr
+    run_ours(args, ours_dir)
+    ours_files = sorted(p.name for p in ours_dir.glob("*.out.fq"))
+    ref_files = sorted(p.name for p in oracle_dir.glob("*.out.fq"))
+    assert ours_files == ref_files, (ours_files, ref_files)
+    for name in ref_files:
+        d = diff_fastq(read_fastq(ours_dir / name), read_fastq(oracle_dir / name))
+        assert not d, f"{name}: " + "\n".join(d)
+
+
+def test_index_filter(oracle, tmp_path):
+    # blacklist the most common index in the data
+    idx_file = tmp_path / "index1.txt"
+    idx_file.write_text("GAGATTCC\n")
+    check(oracle, tmp_path,
+          ["-i", str(R1), "-o", "out.fq.gz", "-q", "--enable_index_filter",
+           "--index1_file", str(idx_file), "--max_diff_for_match", "1"],
+          ["out.fq.gz"])
+
+
+def test_phred64(oracle, tmp_path):
+    # synthesize a phred64-encoded input from r1
+    p64 = tmp_path / "r1_p64.fq"
+    recs = read_fastq(R1)[:3000]
+    with open(p64, "wb") as f:
+        for name, seq, strand, qual in recs:
+            q64 = bytes(min(q + 31, 126) for q in qual)
+            f.write(b"\n".join([name, seq, strand, q64]) + b"\n")
+    check(oracle, tmp_path,
+          ["-i", str(p64), "-o", "out.fq.gz", "-q", "--phred64"],
+          ["out.fq.gz"])
+
+
+def test_max_len_and_avg_qual(oracle, tmp_path):
+    check(oracle, tmp_path,
+          ["-i", str(R1), "-o", "out.fq.gz", "-q", "-b", "100", "-e", "25"],
+          ["out.fq.gz"])
