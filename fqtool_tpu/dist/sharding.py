@@ -62,14 +62,18 @@ def run_se_sharded(mesh: Mesh, seq, qual, lens, start0, keep, p: KernelParams,
     and inserts cross-device reductions for the stat sums.
     """
     n = mesh.devices.size
+    b0 = np.asarray(seq).shape[0]
     seq = pad_to_multiple(np.asarray(seq), n)
     qual = pad_to_multiple(np.asarray(qual), n)
     lens = pad_to_multiple(np.asarray(lens), n)
     start0 = pad_to_multiple(np.asarray(start0), n)
     keep_p = np.zeros(seq.shape[0], bool)
     keep_p[: len(keep)] = keep
-    seq, qual, lens, start0, keep_p = shard_batch(mesh, seq, qual, lens, start0, keep_p)
-    return se_pipeline(seq, qual, lens, start0, keep_p, p, **kw)
+    real = np.zeros(seq.shape[0], bool)
+    real[:b0] = True
+    seq, qual, lens, start0, keep_p, real = shard_batch(
+        mesh, seq, qual, lens, start0, keep_p, real)
+    return se_pipeline(seq, qual, lens, start0, keep_p, real, p, **kw)
 
 
 def run_pe_sharded(mesh: Mesh, seq1, qual1, lens1, seq2, qual2, lens2,

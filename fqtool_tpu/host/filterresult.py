@@ -106,11 +106,12 @@ class FilterResultAccumulator:
                 j["TooLongReads"] = int(self.filter_read_stats[FAIL_TOO_LONG])
         return j
 
-    def _report_adapter_details(self, counts: Counter) -> dict:
-        """reference: src/filterresult.cpp:244-265"""
+    def _report_adapter_details(self, counts: Counter):
+        """reference: src/filterresult.cpp:244-265.  With no adapters the
+        json object stays default-constructed and serializes as null."""
         total = sum(counts.values())
         if total == 0:
-            return {}
+            return None
         j: Dict[str, int] = {}
         reported = 0
         for seq, cnt in counts.items():

@@ -428,12 +428,122 @@ class OutputWriter:
         self.close()
 
 
+class AsyncWriter:
+    """OutputWriter wrapped in a writer thread: gzip compression (zlib
+    releases the GIL) and file writes overlap pipeline compute, replacing the
+    reference's per-file WriterThread ring buffers (src/writerthread.cpp)."""
+
+    _SENTINEL = object()
+
+    def __init__(self, path: str, compression: int = 3, max_queue: int = 16):
+        import queue
+        import threading
+
+        self._inner = OutputWriter(path, compression)
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._exc: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    @property
+    def path(self) -> str:
+        return self._inner.path
+
+    def _loop(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is self._SENTINEL:
+                return
+            try:
+                self._inner.write(item)
+            except BaseException as e:  # surfaced on next write/close
+                self._exc = e
+                return
+
+    def write(self, data: bytes) -> None:
+        if self._exc:
+            raise self._exc
+        if data:
+            self._q.put(data)
+
+    def close(self) -> None:
+        self._q.put(self._SENTINEL)
+        self._thread.join()
+        if self._exc:
+            raise self._exc
+        self._inner.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def prefetch_iter(it, depth: int = 2):
+    """Run an iterator in a background thread with a bounded queue --
+    overlaps input decompression/parsing with downstream processing."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    END = object()
+    box = {}
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:
+            box["exc"] = e
+        finally:
+            q.put(END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is END:
+            if "exc" in box:
+                raise box["exc"]
+            return
+        yield item
+
+
 def format_record(name: bytes, seq: bytes, strand: bytes, qual: bytes,
                   tag: Optional[bytes] = None) -> bytes:
     """4-line FASTQ serialization (reference: read.h:166-176)."""
     if tag is not None:
         name = name + b" " + tag
     return b"%s\n%s\n%s\n%s\n" % (name, seq, strand, qual)
+
+
+def format_array_records(select: np.ndarray,
+                         names_buf: bytes, name_off: np.ndarray, name_len: np.ndarray,
+                         strands_buf: bytes, strand_off: np.ndarray, strand_len: np.ndarray,
+                         seq: np.ndarray, qual: np.ndarray,
+                         start: np.ndarray, out_len: np.ndarray,
+                         tags: Optional[Tuple[bytes, np.ndarray, np.ndarray]] = None) -> bytes:
+    """Materialize selected records from raw arrays (native when available)."""
+    if not select.any():
+        return b""
+    if native.get_lib() is not None:
+        return native.format_records(select, names_buf, name_off, name_len,
+                                     strands_buf, strand_off, strand_len,
+                                     seq, qual, start, out_len, tags)
+    parts = []
+    for i in np.flatnonzero(select):
+        tag = b""
+        if tags is not None and tags[2][i]:
+            tag = b" " + tags[0][tags[1][i]: tags[1][i] + tags[2][i]]
+        s = int(start[i])
+        n = int(out_len[i])
+        name = names_buf[name_off[i]: name_off[i] + name_len[i]]
+        strand = strands_buf[strand_off[i]: strand_off[i] + strand_len[i]]
+        parts.append(b"%s%s\n%s\n%s\n%s\n" % (
+            name, tag, seq[i, s : s + n].tobytes(), strand,
+            qual[i, s : s + n].tobytes()))
+    return b"".join(parts)
 
 
 def format_selected(pack: ReadPack, select: np.ndarray, start: np.ndarray,

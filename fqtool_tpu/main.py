@@ -10,6 +10,14 @@ from __future__ import annotations
 import sys
 from typing import List, Optional
 
+import os
+
+# persistent XLA compilation cache: steady-state runs skip (remote)
+# compilation entirely
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/fqtool_tpu_xla"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 from .config.cli import parse_args
 from .config.options import Options
 from .host import evaluator

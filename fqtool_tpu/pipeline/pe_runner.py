@@ -25,19 +25,20 @@ from ..host.duplicate import DuplicateTable
 from ..host.filterresult import FilterResultAccumulator
 from ..host.stats import StatsAccumulator
 from ..host.umi import first_index, process_umi
-from ..io.fastq import OutputWriter, ReadPack, format_record, iter_packs_paired
+from ..io.fastq import (AsyncWriter, OutputWriter, ReadPack, format_record,
+                        iter_packs_paired, prefetch_iter)
 from ..ops.filters import FAILED_TYPES, PASS_FILTER
+from ..io.fastq import format_array_records
 from .pe import pe_pipeline
-from .runner import SplitWriter, index_match, loginfo
+from .runner import (SplitWriter, _TAG_BUF, _TAG_LEN, _TAG_OFF, chunk_rows,
+                     index_match, loginfo, pad_rows)
+
+# extended tag catalog: the fail-reason names plus the PE mate-fail tag
+_XTAG_BUF = _TAG_BUF + b"paired_read_is_failing"
+_PAIRED_OFF = len(_TAG_BUF)
+_PAIRED_LEN = len(b"paired_read_is_failing")
 
 PE_CHUNK = int(os.environ.get("FQTOOL_TPU_PE_CHUNK", "4096"))
-
-
-def _pad_rows(a: np.ndarray, n: int):
-    if a.shape[0] == n:
-        return a
-    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
-    return np.pad(a, pad)
 
 
 class PairEndRunner:
@@ -83,22 +84,24 @@ class PairEndRunner:
     def run(self) -> None:
         opt = self.opt
         split = SplitWriter(opt, paired=True) if opt.split.enabled else None
-        w_out1 = (OutputWriter(opt.out1, opt.compression)
+        w_out1 = (AsyncWriter(opt.out1, opt.compression)
                   if opt.out1 and not opt.split.enabled else None)
-        w_out2 = (OutputWriter(opt.out2, opt.compression)
+        w_out2 = (AsyncWriter(opt.out2, opt.compression)
                   if opt.out2 and not opt.split.enabled else None)
-        w_unpaired1 = OutputWriter(opt.unpaired1, opt.compression) if opt.unpaired1 else None
+        w_unpaired1 = AsyncWriter(opt.unpaired1, opt.compression) if opt.unpaired1 else None
         w_unpaired2 = None
         if opt.unpaired2 and opt.unpaired2 != opt.unpaired1:
-            w_unpaired2 = OutputWriter(opt.unpaired2, opt.compression)
-        w_merged = (OutputWriter(opt.merge_pe.out, opt.compression)
+            w_unpaired2 = AsyncWriter(opt.unpaired2, opt.compression)
+        w_merged = (AsyncWriter(opt.merge_pe.out, opt.compression)
                     if opt.merge_pe.enabled and opt.merge_pe.out else None)
-        w_failed = OutputWriter(opt.failed_out, opt.compression) if opt.failed_out else None
+        w_failed = AsyncWriter(opt.failed_out, opt.compression) if opt.failed_out else None
 
+        pack_reads = (opt.buf_size.max_reads_in_pack if opt.split.enabled
+                      else min(opt.buf_size.max_reads_in_pack, 4 * PE_CHUNK))
         total = 0
-        for pack1, pack2 in iter_packs_paired(
+        for pack1, pack2 in prefetch_iter(iter_packs_paired(
                 opt.in1, opt.in2, opt.interleaved_input,
-                opt.buf_size.max_reads_in_pack, opt.phred64):
+                pack_reads, opt.phred64)):
             r = self.process_pack(pack1, pack2,
                                   has_unpaired1=w_unpaired1 is not None,
                                   want_failed=w_failed is not None)
@@ -148,21 +151,23 @@ class PairEndRunner:
         read_passed = 0
         merged_count = 0
 
-        for lo in range(0, B, PE_CHUNK):
-            hi = min(lo + PE_CHUNK, B)
+        rows = chunk_rows(B, PE_CHUNK)
+        lo = 0
+        while lo < B:
+            hi = min(lo + rows, B)
             n = hi - lo
-            real = np.zeros(PE_CHUNK, bool)
+            real = np.zeros(rows, bool)
             real[:n] = True
             out = pe_pipeline(
-                _pad_rows(pack1.seq[lo:hi], PE_CHUNK),
-                _pad_rows(pack1.qual[lo:hi], PE_CHUNK),
-                _pad_rows(pack1.lens[lo:hi], PE_CHUNK),
-                _pad_rows(pack2.seq[lo:hi], PE_CHUNK),
-                _pad_rows(pack2.qual[lo:hi], PE_CHUNK),
-                _pad_rows(pack2.lens[lo:hi], PE_CHUNK),
-                _pad_rows(start1[lo:hi], PE_CHUNK),
-                _pad_rows(start2[lo:hi], PE_CHUNK),
-                _pad_rows(keep[lo:hi], PE_CHUNK),
+                pad_rows(pack1.seq[lo:hi], rows),
+                pad_rows(pack1.qual[lo:hi], rows),
+                pad_rows(pack1.lens[lo:hi], rows),
+                pad_rows(pack2.seq[lo:hi], rows),
+                pad_rows(pack2.qual[lo:hi], rows),
+                pad_rows(pack2.lens[lo:hi], rows),
+                pad_rows(start1[lo:hi], rows),
+                pad_rows(start2[lo:hi], rows),
+                pad_rows(keep[lo:hi], rows),
                 real,
                 self.p1, self.p2,
                 adapter_r1=self.adapter_r1,
@@ -176,6 +181,7 @@ class PairEndRunner:
                                       parts, has_unpaired1, want_failed)
             read_passed += rp
             merged_count += mc
+            lo = hi
 
         if opt.merge_pe.enabled:
             self.filter_result.add_merged_pairs(merged_count)
@@ -334,6 +340,14 @@ class PairEndRunner:
         merged_count = 0
         fr = self.filter_result
 
+        if not merge_on:
+            # fast path: fully vectorized routing + native formatting
+            return self._route_vectorized(
+                out, pack1, pack2, lo, n, kchunk, start1, start2,
+                result1, result2, rlen1, rlen2, dropped1, dropped2,
+                front1, front2, base1, base2, parts, has_unpaired1,
+                want_failed, sampling), 0
+
         # The reference trims (and corrects) reads IN PLACE, so or1/or2 in the
         # failed stream carry the final trimmed content -- unless trimAndCut
         # dropped the read before mutating it (filter.cpp:75-98,186-188).
@@ -436,6 +450,167 @@ class PairEndRunner:
                         parts["failed"].append(failed_rec2(
                             i, b"paired_read_is_failing"))
         return read_passed, merged_count
+
+    def _route_vectorized(self, out, pack1, pack2, lo, n, kc, start1, start2,
+                          result1, result2, rlen1, rlen2, dropped1, dropped2,
+                          front1, front2, base1, base2, parts, has_unpaired1,
+                          want_failed, sampling) -> int:
+        """Vectorized non-merge routing (peprocessor.cpp:387-428) with native
+        record formatting; returns read_passed."""
+        fr = self.filter_result
+        pass1 = ~dropped1 & (result1 == PASS_FILTER)
+        pass2 = ~dropped2 & (result2 == PASS_FILTER)
+        fr.add_filter_results(np.maximum(result1, result2)[kc], n_each=2)
+        bothpass = kc & pass1 & pass2
+        only1 = kc & pass1 & ~pass2
+        only2 = kc & pass2 & ~pass1
+        read_passed = int(bothpass.sum())
+
+        corrected = "seq1" in out
+        if corrected:
+            mat1s = np.asarray(out["seq1"])[:n]
+            mat1q = np.asarray(out["qual1"])[:n]
+            mat2s = np.asarray(out["seq2"])[:n]
+            mat2q = np.asarray(out["qual2"])[:n]
+            s1 = np.zeros(n, np.int32)
+            s2 = np.zeros(n, np.int32)
+        else:
+            mat1s = pack1.seq[lo : lo + n]
+            mat1q = pack1.qual[lo : lo + n]
+            mat2s = pack2.seq[lo : lo + n]
+            mat2q = pack2.qual[lo : lo + n]
+            s1 = front1
+            s2 = front2
+
+        nb1, no1, nl1 = pack1.name_arrays()
+        sb1, so1, sl1 = pack1.strand_arrays()
+        nb2, no2, nl2 = pack2.name_arrays()
+        sb2, so2, sl2 = pack2.strand_arrays()
+        no1c, nl1c = no1[lo : lo + n], nl1[lo : lo + n]
+        so1c, sl1c = so1[lo : lo + n], sl1[lo : lo + n]
+        no2c, nl2c = no2[lo : lo + n], nl2[lo : lo + n]
+        so2c, sl2c = so2[lo : lo + n], sl2[lo : lo + n]
+
+        if bothpass.any():
+            parts["out1"].append(format_array_records(
+                bothpass, nb1, no1c, nl1c, sb1, so1c, sl1c,
+                mat1s, mat1q, s1, rlen1))
+            parts["out2"].append(format_array_records(
+                bothpass, nb2, no2c, nl2c, sb2, so2c, sl2c,
+                mat2s, mat2q, s2, rlen2))
+            if sampling:
+                for i in np.flatnonzero(bothpass):
+                    if self._post1_counter % sampling == 0:
+                        self.post1.add_over_rep_read(
+                            mat1s[i, s1[i] : s1[i] + rlen1[i]].tobytes())
+                    self._post1_counter += 1
+                    if self._post2_counter % sampling == 0:
+                        self.post2.add_over_rep_read(
+                            mat2s[i, s2[i] : s2[i] + rlen2[i]].tobytes())
+                    self._post2_counter += 1
+
+        if has_unpaired1:
+            if only1.any():
+                parts["unpaired1"].append(format_array_records(
+                    only1, nb1, no1c, nl1c, sb1, so1c, sl1c,
+                    mat1s, mat1q, s1, rlen1))
+            if only2.any():
+                parts["unpaired2"].append(format_array_records(
+                    only2, nb2, no2c, nl2c, sb2, so2c, sl2c,
+                    mat2s, mat2q, s2, rlen2))
+
+        if want_failed and (only1.any() or only2.any()):
+            parts["failed"].append(self._format_failed_interleaved(
+                pack1, pack2, lo, n, only1, only2, has_unpaired1,
+                result1, result2, rlen1, rlen2, dropped1, dropped2,
+                start1, start2, s1, s2, mat1s, mat1q, mat2s, mat2q,
+                nb1, no1c, nl1c, sb1, so1c, sl1c,
+                nb2, no2c, nl2c, sb2, so2c, sl2c, corrected))
+        return read_passed
+
+    def _format_failed_interleaved(self, pack1, pack2, lo, n, only1, only2,
+                                   has_up, result1, result2, rlen1, rlen2,
+                                   dropped1, dropped2, start1, start2, s1, s2,
+                                   mat1s, mat1q, mat2s, mat2q,
+                                   nb1, no1c, nl1c, sb1, so1c, sl1c,
+                                   nb2, no2c, nl2c, sb2, so2c, sl2c,
+                                   corrected) -> bytes:
+        """Failed-stream records in pair order (or1 line then or2 line,
+        peprocessor.cpp:404-428) as one interleaved native format call."""
+        W1, W2 = mat1s.shape[1], mat2s.shape[1]
+        W = max(W1, W2)
+        st1c = start1[lo : lo + n].astype(np.int32)
+        st2c = start2[lo : lo + n].astype(np.int32)
+
+        # row selections and tag codes
+        r1_sel = (only1 & (not has_up)) | only2
+        r2_sel = only1 | (only2 & (not has_up))
+        # r1 tags: paired_read_is_failing | FAILED_TYPES[result2] (bug-compat,
+        # peprocessor.cpp:420) | FAILED_TYPES[result1]
+        tag_off1 = np.where(only1 & (not has_up), _PAIRED_OFF,
+                            np.where(only2 & has_up, _TAG_OFF[result2],
+                                     _TAG_OFF[result1])).astype(np.int64)
+        tag_len1 = np.where(only1 & (not has_up), _PAIRED_LEN,
+                            np.where(only2 & has_up, _TAG_LEN[result2],
+                                     _TAG_LEN[result1])).astype(np.int32)
+        tag_off2 = np.where(only1, _TAG_OFF[result2], _PAIRED_OFF).astype(np.int64)
+        tag_len2 = np.where(only1, _TAG_LEN[result2], _PAIRED_LEN).astype(np.int32)
+
+        int_s = np.zeros((2 * n, W), np.uint8)
+        int_q = np.zeros((2 * n, W), np.uint8)
+        int_s[0::2, :W1] = mat1s
+        int_q[0::2, :W1] = mat1q
+        int_s[1::2, :W2] = mat2s
+        int_q[1::2, :W2] = mat2q
+        if corrected:
+            # dropped reads keep their pre-trim (post-UMI) original content
+            d1 = np.flatnonzero(dropped1)
+            if d1.size:
+                int_s[2 * d1, : pack1.width] = pack1.seq[lo + d1]
+                int_q[2 * d1, : pack1.width] = pack1.qual[lo + d1]
+            d2 = np.flatnonzero(dropped2)
+            if d2.size:
+                int_s[2 * d2 + 1, : pack2.width] = pack2.seq[lo + d2]
+                int_q[2 * d2 + 1, : pack2.width] = pack2.qual[lo + d2]
+
+        starts = np.empty(2 * n, np.int32)
+        lens = np.empty(2 * n, np.int32)
+        starts[0::2] = np.where(dropped1, st1c, s1)
+        lens[0::2] = np.where(dropped1,
+                              np.asarray(pack1.lens[lo : lo + n]) - st1c, rlen1)
+        starts[1::2] = np.where(dropped2, st2c, s2)
+        lens[1::2] = np.where(dropped2,
+                              np.asarray(pack2.lens[lo : lo + n]) - st2c, rlen2)
+
+        names_buf = nb1 + nb2
+        strands_buf = sb1 + sb2
+        name_off = np.empty(2 * n, np.int64)
+        name_len = np.empty(2 * n, np.int32)
+        strand_off = np.empty(2 * n, np.int64)
+        strand_len = np.empty(2 * n, np.int32)
+        name_off[0::2] = no1c
+        name_len[0::2] = nl1c
+        name_off[1::2] = no2c + len(nb1)
+        name_len[1::2] = nl2c
+        strand_off[0::2] = so1c
+        strand_len[0::2] = sl1c
+        strand_off[1::2] = so2c + len(sb1)
+        strand_len[1::2] = sl2c
+
+        sel = np.empty(2 * n, bool)
+        sel[0::2] = r1_sel
+        sel[1::2] = r2_sel
+        tag_off = np.empty(2 * n, np.int64)
+        tag_len = np.empty(2 * n, np.int32)
+        tag_off[0::2] = tag_off1
+        tag_len[0::2] = tag_len1
+        tag_off[1::2] = tag_off2
+        tag_len[1::2] = tag_len2
+
+        return format_array_records(sel, names_buf, name_off, name_len,
+                                    strands_buf, strand_off, strand_len,
+                                    int_s, int_q, starts, lens,
+                                    tags=(_XTAG_BUF, tag_off, tag_len))
 
     @staticmethod
     def _orig_record(pack: ReadPack, i: int, start0: np.ndarray, tag: bytes) -> bytes:

@@ -25,8 +25,8 @@ from ..host.duplicate import DuplicateTable
 from ..host.filterresult import FilterResultAccumulator
 from ..host.stats import StatsAccumulator
 from ..host.umi import first_index, process_umi
-from ..io.fastq import (OutputWriter, ReadPack, format_record, format_selected,
-                        iter_packs)
+from ..io.fastq import (AsyncWriter, OutputWriter, ReadPack, format_record,
+                        format_selected, iter_packs, prefetch_iter)
 from ..ops.filters import FAILED_TYPES
 from .se import se_pipeline
 
@@ -40,6 +40,34 @@ np.cumsum(_TAG_LEN[:-1], out=_TAG_OFF[1:])
 def failed_tags(results: np.ndarray):
     """(buf, off, len) tag triple for format_selected from result codes."""
     return _TAG_BUF, _TAG_OFF[results], _TAG_LEN[results]
+
+
+# Fixed device batch sizes: every kernel invocation uses one of these row
+# counts (padded with masked rows) so the jit cache holds a handful of
+# programs regardless of input size -- recompilation would dominate runtime,
+# especially with a remote-compile TPU attachment.
+SE_CHUNK = int(os.environ.get("FQTOOL_TPU_SE_CHUNK", "32768"))
+_BUCKETS = (256, 2048, 8192)
+
+
+def chunk_rows(pack_total: int, cap: int) -> int:
+    """Device batch size for a pack of ``pack_total`` rows.
+
+    One size per pack: packs larger than every bucket use ``cap`` for every
+    chunk (the padded tail reuses the same compiled program); small packs pick
+    the smallest bucket that holds them whole.
+    """
+    for b in _BUCKETS:
+        if pack_total <= b and b <= cap:
+            return b
+    return cap
+
+
+def pad_rows(a: np.ndarray, n: int) -> np.ndarray:
+    if a.shape[0] == n:
+        return a
+    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad)
 
 
 def loginfo(msg: str) -> None:
@@ -168,22 +196,47 @@ class SingleEndRunner:
     def run(self) -> None:
         opt = self.opt
         split = SplitWriter(opt, paired=False) if opt.split.enabled else None
-        out_writer = (OutputWriter(opt.out1, opt.compression)
+        out_writer = (AsyncWriter(opt.out1, opt.compression)
                       if opt.out1 and not opt.split.enabled else None)
-        failed_writer = (OutputWriter(opt.failed_out, opt.compression)
+        failed_writer = (AsyncWriter(opt.failed_out, opt.compression)
                          if opt.failed_out else None)
 
+        # one device chunk per pack when split output is off: read, compute,
+        # format, and write then pipeline across packs (pack size only affects
+        # output content through split-file rotation boundaries)
+        pack_reads = (opt.buf_size.max_reads_in_pack if opt.split.enabled
+                      else min(opt.buf_size.max_reads_in_pack, SE_CHUNK))
         total = 0
-        for pack in iter_packs(opt.in1, opt.buf_size.max_reads_in_pack, opt.phred64):
-            outstr, failedstr, read_passed = self.process_pack(pack)
-            total += pack.count
+
+        def emit(pack):
+            nonlocal total
+            outstr, failedstr, read_passed = self.complete_pack(pack)
+            total += pack[0].count
             if split is not None:
                 split.write(outstr)
-                split.mark_processed(read_passed if opt.split.by_file_lines else pack.count)
+                split.mark_processed(read_passed if opt.split.by_file_lines
+                                     else pack[0].count)
             elif out_writer is not None:
                 out_writer.write(outstr)
             if failed_writer is not None:
                 failed_writer.write(failedstr)
+
+        # Cross-pack device overlap (submit pack k+1 before folding pack k)
+        # is opt-in: the remote axon attachment intermittently deadlocks
+        # device_get when a second batch of programs is enqueued from the
+        # host.  Intra-pack chunk dispatch is still asynchronous either way.
+        overlap = os.environ.get("FQTOOL_TPU_PACK_OVERLAP", "0") == "1"
+        in_flight = None
+        for pack in prefetch_iter(iter_packs(opt.in1, pack_reads, opt.phred64)):
+            if not overlap:
+                emit(self.submit_pack(pack))
+                continue
+            submitted = self.submit_pack(pack)
+            if in_flight is not None:
+                emit(in_flight)
+            in_flight = submitted
+        if in_flight is not None:
+            emit(in_flight)
         loginfo(f"processed {total} reads")
 
         if split is not None:
@@ -195,7 +248,9 @@ class SingleEndRunner:
         self.write_reports()
 
     # ------------------------------------------------------------------
-    def process_pack(self, pack: ReadPack):
+    def submit_pack(self, pack: ReadPack):
+        """Host prep (index filter, UMI) + async dispatch of all device
+        chunks; returns a handle for :meth:`complete_pack`."""
         opt = self.opt
         B = pack.count
         keep = np.ones(B, bool)
@@ -206,27 +261,61 @@ class SingleEndRunner:
                     keep[i] = False
         start0, _ = process_umi(opt, pack)
 
-        out = se_pipeline(
-            pack.seq, pack.qual, pack.lens, start0, keep,
-            self.params,
-            adapter_r1=self.adapter_r1,
-            use_start0=bool(opt.umi.enabled),
-            with_kmer=bool(opt.kmer.enabled),
-        )
-        out = jax.device_get(out)
+        rows = chunk_rows(B, SE_CHUNK)
+        pending = []
+        lo = 0
+        while lo < B:
+            hi = min(lo + rows, B)
+            n = hi - lo
+            real = np.zeros(rows, bool)
+            real[:n] = True
+            pending.append((n, se_pipeline(
+                pad_rows(pack.seq[lo:hi], rows),
+                pad_rows(pack.qual[lo:hi], rows),
+                pad_rows(pack.lens[lo:hi], rows),
+                pad_rows(start0[lo:hi], rows),
+                pad_rows(keep[lo:hi], rows),
+                real,
+                self.params,
+                adapter_r1=self.adapter_r1,
+                use_start0=bool(opt.umi.enabled),
+                with_kmer=bool(opt.kmer.enabled),
+            )))
+            lo = hi
+        return pack, start0, keep, pending
 
-        # stats ---------------------------------------------------------
-        self.pre_stats.add_batch(out["pre"])
-        self.post_stats.add_batch(out["post"])
-        if "pre_kmer" in out:
-            self.pre_stats.add_kmer(out["pre_kmer"])
-        if "post_kmer" in out:
-            self.post_stats.add_kmer(out["post_kmer"])
-        if self.dup is not None:
-            d = out["dup"]
-            self.dup.add_batch(np.asarray(d.key), np.asarray(d.kmer_hi),
-                               np.asarray(d.kmer_lo), np.asarray(d.gc),
-                               np.asarray(d.valid))
+    def _drain_chunks(self, pending) -> dict:
+        """Collect dispatched chunk outputs; fold stats/dup, concatenate the
+        per-read arrays."""
+        merged: dict = {}
+        for n, out in pending:
+            out = jax.device_get(out)
+            self.pre_stats.add_batch(out.pop("pre"))
+            self.post_stats.add_batch(out.pop("post"))
+            if "pre_kmer" in out:
+                self.pre_stats.add_kmer(out.pop("pre_kmer"))
+            if "post_kmer" in out:
+                self.post_stats.add_kmer(out.pop("post_kmer"))
+            if self.dup is not None:
+                d = out.pop("dup")
+                valid = np.asarray(d.valid).copy()
+                valid[n:] = False
+                self.dup.add_batch(np.asarray(d.key), np.asarray(d.kmer_hi),
+                                   np.asarray(d.kmer_lo), np.asarray(d.gc), valid)
+            for k, v in out.items():
+                merged.setdefault(k, []).append(np.asarray(v)[:n])
+        return {k: (np.concatenate(v) if len(v) > 1 else v[0])
+                for k, v in merged.items()}
+
+    def process_pack(self, pack: ReadPack):
+        """Synchronous submit + complete (used by tests and simple callers)."""
+        return self.complete_pack(self.submit_pack(pack))
+
+    def complete_pack(self, submitted):
+        pack, start0, keep, pending = submitted
+        opt = self.opt
+        B = pack.count
+        out = self._drain_chunks(pending)
 
         result = np.asarray(out["result"])
         passed = np.asarray(out["passed"])

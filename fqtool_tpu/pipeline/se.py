@@ -40,6 +40,7 @@ def se_pipeline(
     lens: jnp.ndarray,
     start0: jnp.ndarray,
     keep: jnp.ndarray,
+    real: jnp.ndarray,
     p: KernelParams,
     adapter_r1: bytes = b"",
     use_start0: bool = False,
@@ -59,11 +60,12 @@ def se_pipeline(
     """
     out = {}
     lens = lens.astype(jnp.int32)
+    keep = keep & real  # `real` masks off chunk-padding rows entirely
 
     # 1. pre-filtering stats on the raw reads (seprocessor.cpp:298)
-    out["pre"] = ops_stats.stat_batch(seq, qual, lens)
+    out["pre"] = ops_stats.stat_batch(seq, qual, lens, select=real)
     if with_kmer and p.kmer_len:
-        out["pre_kmer"] = ops_stats.kmer_counts(seq, lens, p.kmer_len)
+        out["pre_kmer"] = ops_stats.kmer_counts(seq, lens, p.kmer_len, select=real)
 
     # 2. duplication keys on the raw reads (seprocessor.cpp:300-302)
     if p.dup_enabled:
