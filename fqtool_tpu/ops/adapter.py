@@ -48,21 +48,18 @@ def trim_by_sequence(seq: jnp.ndarray, rlen: jnp.ndarray,
     start = adapter_start(alen)
     P = L + (-start)  # candidate positions start .. L-1
     pos_axis = positions(P) + start  # [1, P] actual pos values
-    ad = jnp.asarray(adapter)
 
     # mism[b, p] = sum over i in [max(0,-pos), cmplen) of adapter[i] != seq[b, i+pos]
-    # computed by shifting the read under the adapter
-    i_axis = jnp.arange(alen, dtype=jnp.int32)  # [A]
-    # read index for (p, i): i + pos
-    ridx = pos_axis[0][:, None] + i_axis[None, :]  # [P, A]
-    in_read = (ridx >= 0) & (ridx < rlen[:, None, None])  # [B, P, A]
-    in_adapter = i_axis[None, None, :] >= jnp.maximum(0, -pos_axis[0])[None, :, None]
-    gathered = seq[:, jnp.clip(ridx, 0, L - 1)]  # [B, P, A]
-    neq = gathered != ad[None, None, :]
-    # compare region: i in [max(0,-pos), cmplen) where cmplen = min(rlen-pos, alen);
-    # i < cmplen  <=>  i + pos < rlen (for i < alen)
-    cmp_mask = in_read & in_adapter
-    mism = jnp.sum(neq & cmp_mask, axis=2).astype(jnp.int32)  # [B, P]
+    # computed as ``alen`` static shifted slices (no gather: per-row gathers
+    # are orders of magnitude slower on the TPU VPU than sliced compares)
+    seq_pad = jnp.pad(seq, ((0, 0), (-start, alen)))  # read index i+pos -> col i+pos-start
+    mism = jnp.zeros(seq.shape[:1] + (P,), jnp.int32)
+    for i in range(alen):
+        window = seq_pad[:, i : i + P]  # == seq[b, pos + i] over the pos axis
+        neq = window != adapter[i]
+        # compare region: i >= -pos (static per column) and pos + i < rlen
+        valid_i = (pos_axis >= -i) & (pos_axis + i < rlen[:, None])
+        mism = mism + (neq & valid_i)
     cmplen = jnp.minimum(rlen[:, None] - pos_axis, alen)  # [B, P]
     allowed = cmplen // ALLOW_ONE_MISMATCH_EACH
     matched = mism <= allowed

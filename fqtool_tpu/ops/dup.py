@@ -24,15 +24,33 @@ class DupKeys(NamedTuple):
     valid: jnp.ndarray     # bool [B]
 
 
+def _pack_2bit_fixed(codes: jnp.ndarray, start: int, n: int):
+    """Pack ``n`` 2-bit codes from the static column ``start`` (one fused
+    pass over static slices; no gathers)."""
+    if start + n > codes.shape[1]:
+        # pack narrower than the window: every read is too short anyway
+        return (jnp.zeros((codes.shape[0],), jnp.uint32),
+                jnp.zeros((codes.shape[0],), bool))
+    val = jnp.zeros((codes.shape[0],), jnp.uint32)
+    ok = jnp.ones((codes.shape[0],), bool)
+    for j in range(n):
+        c = codes[:, start + j].astype(jnp.int32)
+        val = val * 4 + jnp.maximum(c, 0).astype(jnp.uint32)
+        ok = ok & (c >= 0)
+    return val, ok
+
+
 def _pack_2bit(codes: jnp.ndarray, start: jnp.ndarray, n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Pack ``n`` 2-bit codes beginning at per-read ``start`` into uint32
-    (n <= 16); returns (value, all_valid)."""
+    """Pack ``n`` 2-bit codes beginning at per-read ``start``: one [B, n]
+    gather, then static-sliced packing (per-row gathers are ~100x slower on
+    TPU than a single take_along_axis)."""
     B, L = codes.shape
+    idx = jnp.clip(start[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :], 0, L - 1)
+    window = jnp.take_along_axis(codes, idx, axis=1).astype(jnp.int32)  # [B, n]
     val = jnp.zeros((B,), jnp.uint32)
     ok = jnp.ones((B,), bool)
     for j in range(n):
-        idx = jnp.clip(start + j, 0, L - 1)
-        c = jnp.take_along_axis(codes, idx[:, None], axis=1)[:, 0]
+        c = window[:, j]
         val = val * 4 + jnp.maximum(c, 0).astype(jnp.uint32)
         ok = ok & (c >= 0)
     return val, ok
@@ -51,8 +69,7 @@ def dup_keys_se(seq: jnp.ndarray, rlen: jnp.ndarray, keylen: int) -> DupKeys:
     max(0, len - 32 - 5)."""
     B, L = seq.shape
     codes = seq2int_codes(seq)
-    zero = jnp.zeros((B,), jnp.int32)
-    key, key_ok = _pack_2bit(codes, zero, keylen)
+    key, key_ok = _pack_2bit_fixed(codes, 0, keylen)
     start2 = jnp.maximum(0, rlen - 32 - 5)
     hi, hi_ok = _pack_2bit(codes, start2, 16)
     lo, lo_ok = _pack_2bit(codes, start2 + 16, 16)
@@ -66,12 +83,11 @@ def dup_keys_pe(seq1: jnp.ndarray, rlen1: jnp.ndarray,
     """reference: src/duplicate.cpp:95-129.  Key from read1 prefix, kmer32 from
     read2 prefix, GC over both reads."""
     B, L1 = seq1.shape
-    zero = jnp.zeros((B,), jnp.int32)
     codes1 = seq2int_codes(seq1)
     codes2 = seq2int_codes(seq2)
-    key, key_ok = _pack_2bit(codes1, zero, keylen)
-    hi, hi_ok = _pack_2bit(codes2, zero, 16)
-    lo, lo_ok = _pack_2bit(codes2, zero + 16, 16)
+    key, key_ok = _pack_2bit_fixed(codes1, 0, keylen)
+    hi, hi_ok = _pack_2bit_fixed(codes2, 0, 16)
+    lo, lo_ok = _pack_2bit_fixed(codes2, 16, 16)
     valid = (rlen1 >= 32) & (rlen2 >= 32) & key_ok & hi_ok & lo_ok
     mask1 = valid_mask(rlen1, seq1.shape[1])
     mask2 = valid_mask(rlen2, seq2.shape[1])

@@ -28,6 +28,7 @@ from ..ops import polyx as ops_polyx
 from ..ops import qualcut as ops_qualcut
 from ..ops import stats as ops_stats
 from ..ops.common import align
+from .blob import BlobCall
 
 
 @functools.partial(
@@ -238,3 +239,8 @@ def pe_pipeline(
         out["seq1"], out["qual1"] = seq1, qual1
         out["seq2"], out["qual2"] = seq2, qual2
     return out
+
+
+se_static = ("p", "p2", "adapter_r1", "adapter_r2", "use_start0", "with_kmer",
+             "discard_unmerged")
+pe_pipeline_call = BlobCall(pe_pipeline.__wrapped__, se_static)

@@ -29,9 +29,9 @@ from ..io.fastq import (AsyncWriter, OutputWriter, ReadPack, format_record,
                         iter_packs_paired, prefetch_iter)
 from ..ops.filters import FAILED_TYPES, PASS_FILTER
 from ..io.fastq import format_array_records
-from .pe import pe_pipeline
+from .pe import pe_pipeline_call
 from .runner import (SplitWriter, _TAG_BUF, _TAG_LEN, _TAG_OFF, chunk_rows,
-                     index_match, loginfo, pad_rows)
+                     index_match, loginfo, pad_rows, start_host_copies)
 
 # extended tag catalog: the fail-reason names plus the PE mate-fail tag
 _XTAG_BUF = _TAG_BUF + b"paired_read_is_failing"
@@ -158,7 +158,7 @@ class PairEndRunner:
             n = hi - lo
             real = np.zeros(rows, bool)
             real[:n] = True
-            out = pe_pipeline(
+            out = pe_pipeline_call(
                 pad_rows(pack1.seq[lo:hi], rows),
                 pad_rows(pack1.qual[lo:hi], rows),
                 pad_rows(pack1.lens[lo:hi], rows),
@@ -169,14 +169,14 @@ class PairEndRunner:
                 pad_rows(start2[lo:hi], rows),
                 pad_rows(keep[lo:hi], rows),
                 real,
-                self.p1, self.p2,
+                p=self.p1, p2=self.p2,
                 adapter_r1=self.adapter_r1,
                 adapter_r2=self.adapter_r2,
                 use_start0=bool(opt.umi.enabled),
                 with_kmer=bool(opt.kmer.enabled),
                 discard_unmerged=bool(opt.merge_pe.discard_unmerged),
             )
-            out = jax.device_get(out)
+            out = out.get()
             rp, mc = self._fold_chunk(out, pack1, pack2, lo, n, keep, start1, start2,
                                       parts, has_unpaired1, want_failed)
             read_passed += rp
@@ -347,6 +347,40 @@ class PairEndRunner:
                 result1, result2, rlen1, rlen2, dropped1, dropped2,
                 front1, front2, base1, base2, parts, has_unpaired1,
                 want_failed, sampling), 0
+
+        if not sampling:
+            # vectorized merge routing: merged/unmerged records in pair order
+            # via a 3-rows-per-pair interleave; non-processed pairs (a NULL
+            # side, or unmergeable under --discard_unmerged) fall through to
+            # the standard routing (peprocessor.cpp:350-428)
+            m_proc = both & (mergeable | (not discard_unmerged))
+            pass1v = ~dropped1 & (result1 == PASS_FILTER)
+            pass2v = ~dropped2 & (result2 == PASS_FILTER)
+            m_sel = both & mergeable & kchunk
+            fr.add_filter_results(resultM[m_sel], n_each=2)
+            m_written = m_sel & (resultM == PASS_FILTER)
+            m_unm = both & ~mergeable & (not discard_unmerged) & kchunk
+            fr.add_filter_results(result1[m_unm], n_each=1)
+            fr.add_filter_results(result2[m_unm], n_each=1)
+            merged_count = int(m_written.sum())
+            read_passed = merged_count + int((m_unm & pass1v & pass2v).sum())
+            self._post1_counter += merged_count + int((m_unm & pass1v).sum())
+            self._post2_counter += int((m_unm & pass2v).sum())
+
+            if m_written.any() or (m_unm & (pass1v | pass2v)).any():
+                parts["merged"].append(self._format_merged_interleaved(
+                    pack1, pack2, lo, n, m_written, m_unm & pass1v,
+                    m_unm & pass2v, m_seq, m_qual, m_rlen, m_len1, m_len2,
+                    mat_args=(base1, base2, rlen1, rlen2,
+                              content1, content2, out)))
+
+            np_mask = kchunk & ~m_proc
+            rp2 = self._route_vectorized(
+                out, pack1, pack2, lo, n, np_mask, start1, start2,
+                result1, result2, rlen1, rlen2, dropped1, dropped2,
+                front1, front2, base1, base2, parts, has_unpaired1,
+                want_failed, 0)
+            return read_passed + rp2, merged_count
 
         # The reference trims (and corrects) reads IN PLACE, so or1/or2 in the
         # failed stream carry the final trimmed content -- unless trimAndCut
@@ -527,6 +561,92 @@ class PairEndRunner:
                 nb1, no1c, nl1c, sb1, so1c, sl1c,
                 nb2, no2c, nl2c, sb2, so2c, sl2c, corrected))
         return read_passed
+
+    def _format_merged_interleaved(self, pack1, pack2, lo, n, selM, sel1, sel2,
+                                   m_seq, m_qual, m_rlen, m_len1, m_len2,
+                                   mat_args) -> bytes:
+        """Merged-stream records in pair order: merged read OR the unmerged
+        kept r1 then r2 (peprocessor.cpp:355-385), as one 3-rows-per-pair
+        native format call."""
+        base1, base2, rlen1, rlen2, _c1, _c2, out = mat_args
+        corrected = "seq1" in out
+        if corrected:
+            mat1s = np.asarray(out["seq1"])[:n]
+            mat1q = np.asarray(out["qual1"])[:n]
+            mat2s = np.asarray(out["seq2"])[:n]
+            mat2q = np.asarray(out["qual2"])[:n]
+        else:
+            mat1s = pack1.seq[lo : lo + n]
+            mat1q = pack1.qual[lo : lo + n]
+            mat2s = pack2.seq[lo : lo + n]
+            mat2q = pack2.qual[lo : lo + n]
+        mseq = m_seq[:n]
+        mqual = m_qual[:n]
+        Wm, W1, W2 = mseq.shape[1], mat1s.shape[1], mat2s.shape[1]
+        W = max(Wm, W1, W2)
+
+        int_s = np.zeros((3 * n, W), np.uint8)
+        int_q = np.zeros((3 * n, W), np.uint8)
+        int_s[0::3, :Wm] = mseq
+        int_q[0::3, :Wm] = mqual
+        int_s[1::3, :W1] = mat1s
+        int_q[1::3, :W1] = mat1q
+        int_s[2::3, :W2] = mat2s
+        int_q[2::3, :W2] = mat2q
+
+        starts = np.zeros(3 * n, np.int32)
+        starts[1::3] = base1
+        starts[2::3] = base2
+        lens = np.empty(3 * n, np.int32)
+        lens[0::3] = m_rlen
+        lens[1::3] = rlen1
+        lens[2::3] = rlen2
+
+        # merged names: host-mangled for the selected pairs only
+        idxs = np.flatnonzero(selM)
+        mnames = [_merged_name(pack1.name(lo + int(i)), int(m_len1[i]),
+                               int(m_len2[i])) for i in idxs]
+        mbuf = b"".join(mnames)
+        moff = np.zeros(len(mnames), np.int64)
+        mlens = np.fromiter((len(x) for x in mnames), count=len(mnames),
+                            dtype=np.int32)
+        if len(mnames) > 1:
+            np.cumsum(mlens[:-1], out=moff[1:])
+
+        nb1, no1, nl1 = pack1.name_arrays()
+        sb1, so1, sl1 = pack1.strand_arrays()
+        nb2, no2, nl2 = pack2.name_arrays()
+        sb2, so2, sl2 = pack2.strand_arrays()
+        names_buf = mbuf + nb1 + nb2
+        strands_buf = sb1 + sb2
+
+        name_off = np.zeros(3 * n, np.int64)
+        name_len = np.zeros(3 * n, np.int32)
+        name_off[0::3][selM] = moff
+        name_len[0::3][selM] = mlens
+        name_off[1::3] = no1[lo : lo + n] + len(mbuf)
+        name_len[1::3] = nl1[lo : lo + n]
+        name_off[2::3] = no2[lo : lo + n] + len(mbuf) + len(nb1)
+        name_len[2::3] = nl2[lo : lo + n]
+
+        strand_off = np.zeros(3 * n, np.int64)
+        strand_len = np.zeros(3 * n, np.int32)
+        # merged reads use r1's strand (overlapanalysis.cpp:102)
+        strand_off[0::3] = so1[lo : lo + n]
+        strand_len[0::3] = sl1[lo : lo + n]
+        strand_off[1::3] = so1[lo : lo + n]
+        strand_len[1::3] = sl1[lo : lo + n]
+        strand_off[2::3] = so2[lo : lo + n] + len(sb1)
+        strand_len[2::3] = sl2[lo : lo + n]
+
+        sel = np.zeros(3 * n, bool)
+        sel[0::3] = selM
+        sel[1::3] = sel1
+        sel[2::3] = sel2
+
+        return format_array_records(sel, names_buf, name_off, name_len,
+                                    strands_buf, strand_off, strand_len,
+                                    int_s, int_q, starts, lens)
 
     def _format_failed_interleaved(self, pack1, pack2, lo, n, only1, only2,
                                    has_up, result1, result2, rlen1, rlen2,

@@ -28,7 +28,7 @@ from ..host.umi import first_index, process_umi
 from ..io.fastq import (AsyncWriter, OutputWriter, ReadPack, format_record,
                         format_selected, iter_packs, prefetch_iter)
 from ..ops.filters import FAILED_TYPES
-from .se import se_pipeline
+from .se import se_pipeline, se_pipeline_call
 
 # tag catalog for failed-stream suffixes: one buffer + per-code offsets
 _TAG_BUF = b"".join(t.encode() for t in FAILED_TYPES)
@@ -72,6 +72,13 @@ def pad_rows(a: np.ndarray, n: int) -> np.ndarray:
 
 def loginfo(msg: str) -> None:
     sys.stderr.write(time.strftime("[%H:%M:%S] ") + msg + "\n")
+
+
+def start_host_copies(tree) -> None:
+    """No-op placeholder: copy_to_host_async deadlocks the axon remote
+    attachment (it cannot tolerate multiple outstanding transfers), so leaf
+    counts are minimized via blob outputs instead."""
+    return None
 
 
 def index_match(blacklist: List[str], target: bytes, threshold: int) -> bool:
@@ -269,14 +276,14 @@ class SingleEndRunner:
             n = hi - lo
             real = np.zeros(rows, bool)
             real[:n] = True
-            pending.append((n, se_pipeline(
+            pending.append((n, se_pipeline_call(
                 pad_rows(pack.seq[lo:hi], rows),
                 pad_rows(pack.qual[lo:hi], rows),
                 pad_rows(pack.lens[lo:hi], rows),
                 pad_rows(start0[lo:hi], rows),
                 pad_rows(keep[lo:hi], rows),
                 real,
-                self.params,
+                p=self.params,
                 adapter_r1=self.adapter_r1,
                 use_start0=bool(opt.umi.enabled),
                 with_kmer=bool(opt.kmer.enabled),
@@ -289,7 +296,7 @@ class SingleEndRunner:
         per-read arrays."""
         merged: dict = {}
         for n, out in pending:
-            out = jax.device_get(out)
+            out = out.get()
             self.pre_stats.add_batch(out.pop("pre"))
             self.post_stats.add_batch(out.pop("post"))
             if "pre_kmer" in out:

@@ -28,6 +28,7 @@ from ..ops import polyx as ops_polyx
 from ..ops import qualcut as ops_qualcut
 from ..ops import stats as ops_stats
 from ..ops.common import align
+from .blob import BlobCall
 
 
 @functools.partial(
@@ -135,3 +136,10 @@ def se_pipeline(
     out["rlen"] = rlen
     out["dropped"] = dropped
     return out
+
+
+# blob-returning call used by the production runner (two device->host
+# transfers per chunk instead of one per output array)
+se_pipeline_call = BlobCall(
+    se_pipeline.__wrapped__,
+    ("p", "adapter_r1", "use_start0", "with_kmer"))
