@@ -1,0 +1,65 @@
+"""Structured per-stage timing and optional device profiling.
+
+The reference's only observability is timestamped stderr logs
+(reference: src/util.h:469-478 loginfo calls at stage transitions); here every
+pipeline stage is timed into a process-wide registry, dumped at exit when
+``FQTOOL_TPU_TRACE=1``, and ``FQTOOL_TPU_PROFILE_DIR`` captures a JAX device
+profile (TensorBoard format) around the whole run.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import sys
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+from typing import Dict
+
+_ENABLED = os.environ.get("FQTOOL_TPU_TRACE", "") == "1"
+_PROFILE_DIR = os.environ.get("FQTOOL_TPU_PROFILE_DIR", "")
+
+_totals: Dict[str, float] = defaultdict(float)
+_counts: Dict[str, int] = defaultdict(int)
+
+
+@contextmanager
+def stage(name: str):
+    """Time a pipeline stage; no-op overhead when tracing is disabled."""
+    if not _ENABLED:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        _totals[name] += time.perf_counter() - t0
+        _counts[name] += 1
+
+
+def dump() -> None:
+    if not _totals:
+        return
+    total = sum(_totals.values())
+    sys.stderr.write("=== fqtool_tpu stage timing ===\n")
+    for name, t in sorted(_totals.items(), key=lambda kv: -kv[1]):
+        sys.stderr.write(
+            f"{name:>24}: {t:8.3f}s  ({_counts[name]:6d} calls, "
+            f"{100.0 * t / total:5.1f}%)\n")
+
+
+if _ENABLED:
+    atexit.register(dump)
+
+
+@contextmanager
+def device_profile():
+    """Capture a JAX profiler trace around the run when configured."""
+    if not _PROFILE_DIR:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(_PROFILE_DIR):
+        yield

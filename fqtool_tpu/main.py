@@ -25,10 +25,12 @@ from .pipeline.runner import SingleEndRunner, loginfo
 
 
 def run(opt: Options) -> None:
-    # evaluation pre-passes (main.cpp:128-143)
+    # evaluation pre-passes (main.cpp:128-143).  The read-number estimate
+    # scans up to 512Ki records but is consumed only by -s split sizing
+    # (main.cpp:132-135), so it runs only when needed.
     evaluator.evaluate_read_len(opt)
-    evaluator.evaluate_read_num(opt)
     if opt.split.by_file_number:
+        evaluator.evaluate_read_num(opt)
         opt.split.size = max(opt.est.reads_num // max(opt.split.number, 1), 1)
         loginfo(f"total reds: {opt.est.reads_num} split size: {opt.split.size}")
     if opt.over_rep.enabled:

@@ -57,6 +57,7 @@ class PairEndRunner:
         self._pre_counter = 0
         self._post1_counter = 0
         self._post2_counter = 0
+        self._rows = 0  # device batch size, locked at the first pack
         self.adapter_r1, self.adapter_r2 = self._effective_adapters()
 
     def _make_stats(self, is_r2: bool) -> StatsAccumulator:
@@ -151,7 +152,9 @@ class PairEndRunner:
         read_passed = 0
         merged_count = 0
 
-        rows = chunk_rows(B, PE_CHUNK)
+        if not self._rows:
+            self._rows = chunk_rows(B, PE_CHUNK)
+        rows = self._rows
         lo = 0
         while lo < B:
             hi = min(lo + rows, B)
@@ -410,11 +413,14 @@ class PairEndRunner:
                     if resultM[i] == PASS_FILTER:
                         name = _merged_name(pack1.name(lo + i),
                                             int(m_len1[i]), int(m_len2[i]))
+                        mseq_b = m_seq[i, : m_rlen[i]].tobytes()
                         parts["merged"].append(format_record(
-                            name, m_seq[i, : m_rlen[i]].tobytes(),
+                            name, mseq_b,
                             pack1.strand(lo + i), m_qual[i, : m_rlen[i]].tobytes()))
                         read_passed += 1
                         merged_count += 1
+                        if sampling and self._post1_counter % sampling == 0:
+                            self.post1.add_over_rep_read(mseq_b)
                         self._post1_counter += 1
                     merge_processed = True
                 elif not discard_unmerged:
@@ -423,12 +429,16 @@ class PairEndRunner:
                         s, q = content1(i, base1[i], int(rlen1[i]))
                         parts["merged"].append(format_record(
                             pack1.name(lo + i), s, pack1.strand(lo + i), q))
+                        if sampling and self._post1_counter % sampling == 0:
+                            self.post1.add_over_rep_read(s)
                         self._post1_counter += 1
                     fr.add_filter_result(int(result2[i]), 1)
                     if pass2:
                         s, q = content2(i, base2[i], int(rlen2[i]))
                         parts["merged"].append(format_record(
                             pack2.name(lo + i), s, pack2.strand(lo + i), q))
+                        if sampling and self._post2_counter % sampling == 0:
+                            self.post2.add_over_rep_read(s)
                         self._post2_counter += 1
                     if pass1 and pass2:
                         read_passed += 1

@@ -24,6 +24,7 @@ from ..host import report_json
 from ..host.duplicate import DuplicateTable
 from ..host.filterresult import FilterResultAccumulator
 from ..host.stats import StatsAccumulator
+from ..host.tracing import device_profile, stage
 from ..host.umi import first_index, process_umi
 from ..io.fastq import (AsyncWriter, OutputWriter, ReadPack, format_record,
                         format_selected, iter_packs, prefetch_iter)
@@ -181,6 +182,7 @@ class SingleEndRunner:
                     if opt.duplicate.enabled else None)
         self._pre_counter = 0
         self._post_counter = 0
+        self._rows = 0  # device batch size, locked at the first pack
         self.adapter_r1 = self._effective_adapter()
 
     def _make_stats(self) -> StatsAccumulator:
@@ -228,6 +230,19 @@ class SingleEndRunner:
             if failed_writer is not None:
                 failed_writer.write(failedstr)
 
+        with device_profile():
+            self._run_loop(opt, split, out_writer, failed_writer, emit, pack_reads)
+
+        if split is not None:
+            split.close()
+        if out_writer is not None:
+            out_writer.close()
+        if failed_writer is not None:
+            failed_writer.close()
+        with stage("reports"):
+            self.write_reports()
+
+    def _run_loop(self, opt, split, out_writer, failed_writer, emit, pack_reads):
         # Cross-pack device overlap (submit pack k+1 before folding pack k)
         # is opt-in: the remote axon attachment intermittently deadlocks
         # device_get when a second batch of programs is enqueued from the
@@ -244,15 +259,7 @@ class SingleEndRunner:
             in_flight = submitted
         if in_flight is not None:
             emit(in_flight)
-        loginfo(f"processed {total} reads")
-
-        if split is not None:
-            split.close()
-        if out_writer is not None:
-            out_writer.close()
-        if failed_writer is not None:
-            failed_writer.close()
-        self.write_reports()
+        loginfo("SE processing finished")
 
     # ------------------------------------------------------------------
     def submit_pack(self, pack: ReadPack):
@@ -268,7 +275,17 @@ class SingleEndRunner:
                     keep[i] = False
         start0, _ = process_umi(opt, pack)
 
-        rows = chunk_rows(B, SE_CHUNK)
+        with stage("dispatch"):
+            return self._dispatch(pack, start0, keep)
+
+    def _dispatch(self, pack, start0, keep):
+        opt = self.opt
+        B = pack.count
+        # lock the batch size at the first pack so a smaller tail pack never
+        # compiles a second program mid-run
+        if not self._rows:
+            self._rows = chunk_rows(B, SE_CHUNK)
+        rows = self._rows
         pending = []
         lo = 0
         while lo < B:
@@ -296,7 +313,8 @@ class SingleEndRunner:
         per-read arrays."""
         merged: dict = {}
         for n, out in pending:
-            out = out.get()
+            with stage("device_wait"):
+                out = out.get()
             self.pre_stats.add_batch(out.pop("pre"))
             self.post_stats.add_batch(out.pop("post"))
             if "pre_kmer" in out:

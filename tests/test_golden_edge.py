@@ -1,0 +1,87 @@
+"""Edge-case golden tests: long reads, empty input, CRLF line endings,
+ORA-with-merge, and tiny inputs."""
+
+from __future__ import annotations
+
+import json
+import random
+from pathlib import Path
+
+import pytest
+
+from .oracle import TESTDATA, compare_json, diff_fastq, read_fastq
+from .test_golden_se import run_ours
+
+R1 = TESTDATA / "r1.fq.gz"
+R2 = TESTDATA / "r2.fq.gz"
+
+
+def check(oracle, tmp_path, args, outputs):
+    ours_dir = tmp_path / "ours"
+    oracle_dir = tmp_path / "oracle"
+    res = oracle.run(args + ["-w", "1"], oracle_dir)
+    assert res.returncode == 0, res.stderr
+    run_ours(args, ours_dir)
+    for name in outputs:
+        d = diff_fastq(read_fastq(ours_dir / name), read_fastq(oracle_dir / name))
+        assert not d, f"{name}: " + "\n".join(d)
+    with open(ours_dir / "report.json") as f:
+        ours_json = json.load(f)
+    diffs = compare_json(ours_json, res.json_report())
+    assert not diffs, "\n".join(diffs[:40])
+
+
+def test_long_reads(oracle, tmp_path):
+    """Reads well past the 300-cycle long-read threshold with varying length
+    (exercises stats buffer growth and the quality-cut windows at scale)."""
+    rng = random.Random(7)
+    fq = tmp_path / "long.fq"
+    with open(fq, "wb") as f:
+        for i in range(600):
+            n = rng.choice([350, 480, 500, 750, 1000])
+            seq = "".join(rng.choices("ACGTN", weights=[24, 24, 24, 24, 2], k=n))
+            qual = "".join(chr(rng.randint(33, 73)) for _ in range(n))
+            f.write(f"@L{i} 1:N:0:AAAA\n{seq}\n+\n{qual}\n".encode())
+    check(oracle, tmp_path,
+          ["-i", str(fq), "-o", "out.fq.gz", "-q", "--enable_cut_right", "-g"],
+          ["out.fq.gz"])
+
+
+def test_tiny_input(oracle, tmp_path):
+    fq = tmp_path / "tiny.fq"
+    fq.write_bytes(b"@only_read 1:N:0:A\nACGTACGTACGTACGTAC\n+\n" + b"I" * 18 + b"\n")
+    check(oracle, tmp_path,
+          ["-i", str(fq), "-o", "out.fq", "-q", "-l"],
+          ["out.fq"])
+
+
+def test_crlf_line_endings(oracle, tmp_path):
+    recs = read_fastq(R1)[:2000]
+    fq = tmp_path / "crlf.fq"
+    with open(fq, "wb") as f:
+        for rec in recs:
+            f.write(b"\r\n".join(rec) + b"\r\n")
+    check(oracle, tmp_path,
+          ["-i", str(fq), "-o", "out.fq.gz", "-q"],
+          ["out.fq.gz"])
+
+
+def test_ora_with_merge(oracle, tmp_path):
+    check(oracle, tmp_path,
+          ["-i", str(R1), "-I", str(R2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
+           "-m", "--merge_output", "merged.fq.gz", "--ora"],
+          ["merged.fq.gz"])
+
+
+def test_merge_discard_unmerged(oracle, tmp_path):
+    check(oracle, tmp_path,
+          ["-i", str(R1), "-I", str(R2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
+           "-m", "--merge_output", "merged.fq.gz", "--discard_unmerged", "-q"],
+          ["merged.fq.gz", "o1.fq.gz", "o2.fq.gz"])
+
+
+def test_compression_level(oracle, tmp_path):
+    """-z 9 output decompresses to the same records."""
+    check(oracle, tmp_path,
+          ["-i", str(R1), "-o", "out.fq.gz", "-z", "9", "-q"],
+          ["out.fq.gz"])
