@@ -12,7 +12,7 @@ import os
 import sys
 from typing import List, Optional, Sequence, Tuple
 
-from .options import Options, OptionError
+from .options import Options
 
 
 class CLIError(SystemExit):

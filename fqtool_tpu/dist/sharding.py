@@ -16,7 +16,6 @@ single-host ordering.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax

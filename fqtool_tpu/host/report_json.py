@@ -11,8 +11,6 @@ from __future__ import annotations
 import json
 from typing import Optional
 
-import numpy as np
-
 from ..config.options import Options
 from .filterresult import FilterResultAccumulator
 from .stats import StatsAccumulator

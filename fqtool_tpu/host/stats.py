@@ -8,7 +8,7 @@ the cycle-count determination (first zero-count cycle).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -8,7 +8,7 @@ device pipeline (trimFront clamps to len-1, read.h:192-197).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

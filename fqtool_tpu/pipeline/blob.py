@@ -10,7 +10,7 @@ with two transfers and re-split on host with numpy views.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

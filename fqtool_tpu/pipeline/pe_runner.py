@@ -13,11 +13,7 @@ bound the [B, offsets, L] working set of the all-offsets overlap analysis.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
-
 import numpy as np
-
-import jax
 
 from ..config.options import Options
 from ..host import report_json
@@ -25,13 +21,13 @@ from ..host.duplicate import DuplicateTable
 from ..host.filterresult import FilterResultAccumulator
 from ..host.stats import StatsAccumulator
 from ..host.umi import first_index, process_umi
-from ..io.fastq import (AsyncWriter, OutputWriter, ReadPack, format_record,
+from ..io.fastq import (AsyncWriter, ReadPack, format_record,
                         iter_packs_paired, prefetch_iter)
 from ..ops.filters import FAILED_TYPES, PASS_FILTER
 from ..io.fastq import format_array_records
 from .pe import pe_pipeline_call
 from .runner import (SplitWriter, _TAG_BUF, _TAG_LEN, _TAG_OFF, chunk_rows,
-                     index_match, loginfo, pad_rows, start_host_copies)
+                     index_match, loginfo, pad_rows)
 
 # extended tag catalog: the fail-reason names plus the PE mate-fail tag
 _XTAG_BUF = _TAG_BUF + b"paired_read_is_failing"

@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import sys
 import time
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
@@ -26,8 +26,8 @@ from ..host.filterresult import FilterResultAccumulator
 from ..host.stats import StatsAccumulator
 from ..host.tracing import device_profile, stage
 from ..host.umi import first_index, process_umi
-from ..io.fastq import (AsyncWriter, OutputWriter, ReadPack, format_record,
-                        format_selected, iter_packs, prefetch_iter)
+from ..io.fastq import (AsyncWriter, OutputWriter, ReadPack, format_selected,
+                        iter_packs, prefetch_iter)
 from ..ops.filters import FAILED_TYPES
 from .se import se_pipeline, se_pipeline_call
 

@@ -14,7 +14,6 @@ the host materializes output records from the original byte arrays.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
