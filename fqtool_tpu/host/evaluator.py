@@ -222,13 +222,7 @@ def detect_adapter(filename: str, trim_tail1: int) -> str:
     keylen = 10
     size = 1 << (keylen * 2)
 
-    records: List[str] = []
-    bases = 0
-    for name, seq, strand, qual in iter_records(filename):
-        if len(records) >= READ_LIMIT or bases >= BASE_LIMIT:
-            break
-        bases += len(seq)
-        records.append(seq.decode("latin-1"))
+    records = _load_record_seqs(filename, READ_LIMIT, BASE_LIMIT)
 
     if len(records) < 10000:
         return ""
@@ -255,6 +249,32 @@ def detect_adapter(filename: str, trim_tail1: int) -> str:
         if est:
             return est
     return ""
+
+
+def _load_record_seqs(filename: str, read_limit: int, base_limit: int) -> List[str]:
+    """Load up to read_limit/base_limit sequences; uses the native pack
+    reader when available (the python per-record path is the startup
+    bottleneck for large detection scans)."""
+    from ..io.fastq import PackReader
+
+    reader = PackReader(filename, pack_reads=min(read_limit, 65536))
+    out: List[str] = []
+    bases = 0
+    while len(out) < read_limit and bases < base_limit:
+        pack = reader.next_pack()
+        if pack is None:
+            break
+        lens = np.asarray(pack.lens)
+        # bulk-decode rows: strip the zero padding per row
+        flat = pack.seq.tobytes().decode("latin-1")
+        w = pack.width
+        for i in range(pack.count):
+            if len(out) >= read_limit or bases >= base_limit:
+                break
+            n = int(lens[i])
+            out.append(flat[i * w : i * w + n])
+            bases += n
+    return out
 
 
 def _count_seed_kmers(records: List[str], keylen: int, shift_tail: int) -> np.ndarray:

@@ -16,25 +16,32 @@ A, C, G, T, N = 65, 67, 71, 84, 78
 Q20_CHAR = ord("5")  # reference: stats.cpp:250
 Q30_CHAR = ord("?")  # reference: stats.cpp:251
 
+import numpy as np
+
 # base -> 2-bit code used by seq2int (reference: evaluator.cpp:3-49):
-# A=0, T=1, C=2, G=3, everything else invalid
-_SEQ2INT_LUT = jnp.full((256,), -1, dtype=jnp.int8)
-_SEQ2INT_LUT = _SEQ2INT_LUT.at[A].set(0).at[T].set(1).at[C].set(2).at[G].set(3)
+# A=0, T=1, C=2, G=3, everything else invalid.
+# NOTE: these lookup tables must be HOST (numpy) arrays: a module-level
+# device array would be closed over as a jaxpr constant and lowering would
+# fetch its value from the device mid-dispatch, which deadlocks remote
+# attachments.
+_SEQ2INT_LUT = np.full((256,), -1, dtype=np.int8)
+for _b, _v in ((A, 0), (T, 1), (C, 2), (G, 3)):
+    _SEQ2INT_LUT[_b] = _v
 
 # base -> complement (reference: seq.h:24-48 / util complement): other -> N
-_COMPLEMENT_LUT = jnp.full((256,), N, dtype=jnp.uint8)
+_COMPLEMENT_LUT = np.full((256,), N, dtype=np.uint8)
 for _src, _dst in ((A, T), (ord("a"), T), (T, A), (ord("t"), A),
                    (C, G), (ord("c"), G), (G, C), (ord("g"), C)):
-    _COMPLEMENT_LUT = _COMPLEMENT_LUT.at[_src].set(_dst)
+    _COMPLEMENT_LUT[_src] = _dst
 
 
 def seq2int_codes(seq: jnp.ndarray) -> jnp.ndarray:
     """Map ASCII bases to 2-bit codes; -1 marks invalid bases."""
-    return _SEQ2INT_LUT[seq.astype(jnp.int32)]
+    return jnp.asarray(_SEQ2INT_LUT)[seq.astype(jnp.int32)]
 
 
 def complement(seq: jnp.ndarray) -> jnp.ndarray:
-    return _COMPLEMENT_LUT[seq.astype(jnp.int32)]
+    return jnp.asarray(_COMPLEMENT_LUT)[seq.astype(jnp.int32)]
 
 
 def positions(n: int) -> jnp.ndarray:
