@@ -14,10 +14,15 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+import jax
+
 from .common import complement, positions
 
 GOOD_QUAL = 30 + 33  # util::num2qual(30), basecorrector.cpp:27
 BAD_QUAL = 14 + 33   # util::num2qual(14), basecorrector.cpp:28
+
+
+MAX_FIXES = 5  # diff <= 5 bounds corrections per pair (basecorrector.cpp:15)
 
 
 class CorrectResult(NamedTuple):
@@ -28,6 +33,26 @@ class CorrectResult(NamedTuple):
     corrected1: jnp.ndarray   # int32 [B] corrected bases in read1
     corrected2: jnp.ndarray   # int32 [B] corrected bases in read2
     matrix: jnp.ndarray       # int32 [64] correction from->to histogram
+    # sparse patches for host-side record materialization (positions in the
+    # front-aligned read coordinates; -1 = unused slot)
+    pos1: jnp.ndarray         # int32 [B, MAX_FIXES]
+    new_seq1: jnp.ndarray     # uint8 [B, MAX_FIXES]
+    new_qual1: jnp.ndarray    # uint8 [B, MAX_FIXES]
+    pos2: jnp.ndarray
+    new_seq2: jnp.ndarray
+    new_qual2: jnp.ndarray
+
+
+def _sparse_patches(fix: jnp.ndarray, new_seq: jnp.ndarray, new_qual: jnp.ndarray):
+    """Extract up to MAX_FIXES corrected positions per row."""
+    B, L = fix.shape
+    pos = positions(L)
+    marked = jnp.where(fix, pos, -1)
+    top = jax.lax.top_k(marked, MAX_FIXES)[0]  # [B, MAX_FIXES], -1 padded
+    idx = jnp.clip(top, 0, L - 1)
+    return (top,
+            jnp.take_along_axis(new_seq, idx, axis=1),
+            jnp.take_along_axis(new_qual, idx, axis=1))
 
 
 def correct_by_overlap(seq1, qual1, rlen1, seq2, qual2, rlen2, ov,
@@ -77,5 +102,8 @@ def correct_by_overlap(seq1, qual1, rlen1, seq2, qual2, rlen2, ov,
     idx2 = ((seq2 & 7).astype(jnp.int32) * 8 + (complement(mate_seq2) & 7).astype(jnp.int32))
     matrix = matrix.at[idx2.reshape(-1)].add(fix2.reshape(-1).astype(jnp.int32))
 
+    pos1, ns1, nq1 = _sparse_patches(fix1, new_seq1, new_qual1)
+    pos2, ns2, nq2 = _sparse_patches(fix2, new_seq2, new_qual2)
     return CorrectResult(new_seq1, new_qual1, new_seq2, new_qual2,
-                         corrected1, corrected2, matrix)
+                         corrected1, corrected2, matrix,
+                         pos1, ns1, nq1, pos2, ns2, nq2)

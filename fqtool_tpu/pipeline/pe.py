@@ -125,6 +125,12 @@ def pe_pipeline(
             out["corrected1"] = cr.corrected1
             out["corrected2"] = cr.corrected2
             out["correction_matrix"] = cr.matrix
+            # sparse patches: the host applies them to its pack copies instead
+            # of fetching the full corrected matrices
+            out["corr_pos1"], out["corr_seq1"], out["corr_qual1"] = \
+                cr.pos1, cr.new_seq1, cr.new_qual1
+            out["corr_pos2"], out["corr_seq2"], out["corr_qual2"] = \
+                cr.pos2, cr.new_seq2, cr.new_qual2
         if p.adapter_trimming_enabled:
             # overlap-based trim first (adaptertrimmer.cpp:14-27)
             ov_trim = (both & (ov.diff <= 5) & ov.overlapped & (ov.offset < 0)
@@ -219,9 +225,9 @@ def pe_pipeline(
             out["postM_kmer"] = ops_stats.kmer_counts(mg.seq, mg.rlen, p.kmer_len, select=sel_m)
             out["post1_kmer"] = ops_stats.kmer_counts(seq1, rlen1, p.kmer_len, select=sel1)
             out["post2_kmer"] = ops_stats.kmer_counts(seq2, rlen2, p.kmer_len, select=sel2)
-        # merged output needs the trimmed pair content on host
-        out["merged_seq"] = mg.seq
-        out["merged_qual"] = mg.qual
+        # merged offset feeds host-side merged-record assembly
+        out["merged_offset"] = ov2.offset
+        out["merged_ol"] = ov2.overlap_len
     else:
         sel = pass1 & pass2 & keep & both
         out["post1"] = ops_stats.stat_batch(seq1, qual1, rlen1, select=sel)
@@ -234,10 +240,6 @@ def pe_pipeline(
     out["front2"] = (start2 if use_start0 else jnp.zeros_like(lens2)) + tc2.front
     out["rlen1"], out["rlen2"] = rlen1, rlen2
     out["dropped1"], out["dropped2"] = drop1, drop2
-    if p.correction_enabled:
-        # corrected content must be materialized for output records
-        out["seq1"], out["qual1"] = seq1, qual1
-        out["seq2"], out["qual2"] = seq2, qual2
     return out
 
 

@@ -37,6 +37,51 @@ _PAIRED_LEN = len(b"paired_read_is_failing")
 PE_CHUNK = int(os.environ.get("FQTOOL_TPU_PE_CHUNK", "4096"))
 
 
+
+# complement LUT for host-side merged-read assembly
+_COMP_LUT = np.full(256, ord("N"), np.uint8)
+for _s, _d in ((65, 84), (97, 84), (84, 65), (116, 65),
+               (67, 71), (99, 71), (71, 67), (103, 67)):
+    _COMP_LUT[_s] = _d
+
+
+def _apply_patches(mat_s: np.ndarray, mat_q: np.ndarray, pos: np.ndarray,
+                   new_s: np.ndarray, new_q: np.ndarray, front: np.ndarray) -> None:
+    """Apply sparse per-read correction patches in place (pos is in
+    front-aligned coordinates; -1 slots unused)."""
+    valid = pos >= 0
+    if not valid.any():
+        return
+    n, k = pos.shape
+    rows = np.broadcast_to(np.arange(n)[:, None], (n, k))[valid]
+    cols = (front[:, None] + pos)[valid]
+    mat_s[rows, cols] = new_s[valid]
+    mat_q[rows, cols] = new_q[valid]
+
+
+def _assemble_merged(mat1s, mat1q, mat2s, mat2q, front1, front2, rlen2,
+                     offset, ol, len1, len2):
+    """Host-side merged-read construction (overlapanalysis.cpp:74-104):
+    merged = r1[0:len1] ++ revcomp(r2)[ol : ol+len2], built with two row
+    gathers over the (patched) pack matrices."""
+    n = mat1s.shape[0]
+    mlen = len1 + len2
+    Wm = max(int(mlen.max(initial=1)), 1)
+    pos = np.arange(Wm, dtype=np.int32)[None, :]
+    from1 = pos < len1[:, None]
+    idx1 = np.clip(front1[:, None] + pos, 0, mat1s.shape[1] - 1)
+    # second part: merged[i] = revcomp(r2)[ol + i - len1]
+    #            = complement(r2[rlen2 - 1 - (ol + i - len1)])
+    j2 = rlen2[:, None] - 1 - (ol[:, None] + pos - len1[:, None])
+    idx2 = np.clip(front2[:, None] + j2, 0, mat2s.shape[1] - 1)
+    part1_s = np.take_along_axis(mat1s, idx1, axis=1)
+    part1_q = np.take_along_axis(mat1q, idx1, axis=1)
+    part2_s = _COMP_LUT[np.take_along_axis(mat2s, idx2, axis=1)]
+    part2_q = np.take_along_axis(mat2q, idx2, axis=1)
+    return (np.where(from1, part1_s, part2_s).astype(np.uint8),
+            np.where(from1, part1_q, part2_q).astype(np.uint8))
+
+
 class PairEndRunner:
     def __init__(self, opt: Options):
         self.opt = opt
@@ -220,32 +265,36 @@ class PairEndRunner:
         dropped2 = np.asarray(out["dropped2"])[:n]
         both = ~dropped1 & ~dropped2
 
-        # content accessors (corrected arrays when correction is on) ----
-        if "seq1" in out:
-            cseq1 = np.asarray(out["seq1"])
-            cqual1 = np.asarray(out["qual1"])
-            cseq2 = np.asarray(out["seq2"])
-            cqual2 = np.asarray(out["qual2"])
-
-            def content1(i, start, length):
-                return cseq1[i, start : start + length].tobytes(), \
-                    cqual1[i, start : start + length].tobytes()
-
-            def content2(i, start, length):
-                return cseq2[i, start : start + length].tobytes(), \
-                    cqual2[i, start : start + length].tobytes()
-            base1 = np.zeros(n, np.int32)
-            base2 = np.zeros(n, np.int32)
+        # content matrices: pack slices, patched in place with the sparse
+        # correction diffs (device coordinates are front-aligned, so host
+        # column = front + pos); base offsets stay in pack coordinates
+        if "corr_pos1" in out:
+            mat1s = pack1.seq[lo : lo + n].copy()
+            mat1q = pack1.qual[lo : lo + n].copy()
+            mat2s = pack2.seq[lo : lo + n].copy()
+            mat2q = pack2.qual[lo : lo + n].copy()
+            _apply_patches(mat1s, mat1q, np.asarray(out["corr_pos1"])[:n],
+                           np.asarray(out["corr_seq1"])[:n],
+                           np.asarray(out["corr_qual1"])[:n], front1)
+            _apply_patches(mat2s, mat2q, np.asarray(out["corr_pos2"])[:n],
+                           np.asarray(out["corr_seq2"])[:n],
+                           np.asarray(out["corr_qual2"])[:n], front2)
         else:
-            def content1(i, start, length):
-                return pack1.seq[lo + i, start : start + length].tobytes(), \
-                    pack1.qual[lo + i, start : start + length].tobytes()
+            mat1s = pack1.seq[lo : lo + n]
+            mat1q = pack1.qual[lo : lo + n]
+            mat2s = pack2.seq[lo : lo + n]
+            mat2q = pack2.qual[lo : lo + n]
+        base1 = front1
+        base2 = front2
+        mats = (mat1s, mat1q, mat2s, mat2q)
 
-            def content2(i, start, length):
-                return pack2.seq[lo + i, start : start + length].tobytes(), \
-                    pack2.qual[lo + i, start : start + length].tobytes()
-            base1 = front1
-            base2 = front2
+        def content1(i, start, length):
+            return mat1s[i, start : start + length].tobytes(), \
+                mat1q[i, start : start + length].tobytes()
+
+        def content2(i, start, length):
+            return mat2s[i, start : start + length].tobytes(), \
+                mat2q[i, start : start + length].tobytes()
 
         # insert size --------------------------------------------------
         if "isize" in out:
@@ -331,8 +380,10 @@ class PairEndRunner:
             m_rlen = np.asarray(out["merged_rlen"])[:n]
             m_len1 = np.asarray(out["merged_len1"])[:n]
             m_len2 = np.asarray(out["merged_len2"])[:n]
-            m_seq = np.asarray(out["merged_seq"])
-            m_qual = np.asarray(out["merged_qual"])
+            m_seq, m_qual = _assemble_merged(
+                mat1s, mat1q, mat2s, mat2q, front1, front2, rlen2,
+                np.asarray(out["merged_offset"])[:n],
+                np.asarray(out["merged_ol"])[:n], m_len1, m_len2)
 
         sampling = opt.over_rep.sampling if opt.over_rep.enabled else 0
         read_passed = 0
@@ -342,9 +393,9 @@ class PairEndRunner:
         if not merge_on:
             # fast path: fully vectorized routing + native formatting
             return self._route_vectorized(
-                out, pack1, pack2, lo, n, kchunk, start1, start2,
+                mats, pack1, pack2, lo, n, kchunk, start1, start2,
                 result1, result2, rlen1, rlen2, dropped1, dropped2,
-                front1, front2, base1, base2, parts, has_unpaired1,
+                front1, front2, parts, has_unpaired1,
                 want_failed, sampling), 0
 
         if not sampling:
@@ -370,14 +421,13 @@ class PairEndRunner:
                 parts["merged"].append(self._format_merged_interleaved(
                     pack1, pack2, lo, n, m_written, m_unm & pass1v,
                     m_unm & pass2v, m_seq, m_qual, m_rlen, m_len1, m_len2,
-                    mat_args=(base1, base2, rlen1, rlen2,
-                              content1, content2, out)))
+                    mats, front1, front2, rlen1, rlen2))
 
             np_mask = kchunk & ~m_proc
             rp2 = self._route_vectorized(
-                out, pack1, pack2, lo, n, np_mask, start1, start2,
+                mats, pack1, pack2, lo, n, np_mask, start1, start2,
                 result1, result2, rlen1, rlen2, dropped1, dropped2,
-                front1, front2, base1, base2, parts, has_unpaired1,
+                front1, front2, parts, has_unpaired1,
                 want_failed, 0)
             return read_passed + rp2, merged_count
 
@@ -491,13 +541,16 @@ class PairEndRunner:
                             i, b"paired_read_is_failing"))
         return read_passed, merged_count
 
-    def _route_vectorized(self, out, pack1, pack2, lo, n, kc, start1, start2,
+    def _route_vectorized(self, mats, pack1, pack2, lo, n, kc, start1, start2,
                           result1, result2, rlen1, rlen2, dropped1, dropped2,
-                          front1, front2, base1, base2, parts, has_unpaired1,
+                          front1, front2, parts, has_unpaired1,
                           want_failed, sampling) -> int:
         """Vectorized non-merge routing (peprocessor.cpp:387-428) with native
         record formatting; returns read_passed."""
         fr = self.filter_result
+        mat1s, mat1q, mat2s, mat2q = mats
+        s1 = front1
+        s2 = front2
         pass1 = ~dropped1 & (result1 == PASS_FILTER)
         pass2 = ~dropped2 & (result2 == PASS_FILTER)
         fr.add_filter_results(np.maximum(result1, result2)[kc], n_each=2)
@@ -505,22 +558,6 @@ class PairEndRunner:
         only1 = kc & pass1 & ~pass2
         only2 = kc & pass2 & ~pass1
         read_passed = int(bothpass.sum())
-
-        corrected = "seq1" in out
-        if corrected:
-            mat1s = np.asarray(out["seq1"])[:n]
-            mat1q = np.asarray(out["qual1"])[:n]
-            mat2s = np.asarray(out["seq2"])[:n]
-            mat2q = np.asarray(out["qual2"])[:n]
-            s1 = np.zeros(n, np.int32)
-            s2 = np.zeros(n, np.int32)
-        else:
-            mat1s = pack1.seq[lo : lo + n]
-            mat1q = pack1.qual[lo : lo + n]
-            mat2s = pack2.seq[lo : lo + n]
-            mat2q = pack2.qual[lo : lo + n]
-            s1 = front1
-            s2 = front2
 
         nb1, no1, nl1 = pack1.name_arrays()
         sb1, so1, sl1 = pack1.strand_arrays()
@@ -565,29 +602,18 @@ class PairEndRunner:
                 result1, result2, rlen1, rlen2, dropped1, dropped2,
                 start1, start2, s1, s2, mat1s, mat1q, mat2s, mat2q,
                 nb1, no1c, nl1c, sb1, so1c, sl1c,
-                nb2, no2c, nl2c, sb2, so2c, sl2c, corrected))
+                nb2, no2c, nl2c, sb2, so2c, sl2c))
         return read_passed
 
     def _format_merged_interleaved(self, pack1, pack2, lo, n, selM, sel1, sel2,
                                    m_seq, m_qual, m_rlen, m_len1, m_len2,
-                                   mat_args) -> bytes:
+                                   mats, base1, base2, rlen1, rlen2) -> bytes:
         """Merged-stream records in pair order: merged read OR the unmerged
         kept r1 then r2 (peprocessor.cpp:355-385), as one 3-rows-per-pair
         native format call."""
-        base1, base2, rlen1, rlen2, _c1, _c2, out = mat_args
-        corrected = "seq1" in out
-        if corrected:
-            mat1s = np.asarray(out["seq1"])[:n]
-            mat1q = np.asarray(out["qual1"])[:n]
-            mat2s = np.asarray(out["seq2"])[:n]
-            mat2q = np.asarray(out["qual2"])[:n]
-        else:
-            mat1s = pack1.seq[lo : lo + n]
-            mat1q = pack1.qual[lo : lo + n]
-            mat2s = pack2.seq[lo : lo + n]
-            mat2q = pack2.qual[lo : lo + n]
-        mseq = m_seq[:n]
-        mqual = m_qual[:n]
+        mat1s, mat1q, mat2s, mat2q = mats
+        mseq = m_seq
+        mqual = m_qual
         Wm, W1, W2 = mseq.shape[1], mat1s.shape[1], mat2s.shape[1]
         W = max(Wm, W1, W2)
 
@@ -659,8 +685,7 @@ class PairEndRunner:
                                    dropped1, dropped2, start1, start2, s1, s2,
                                    mat1s, mat1q, mat2s, mat2q,
                                    nb1, no1c, nl1c, sb1, so1c, sl1c,
-                                   nb2, no2c, nl2c, sb2, so2c, sl2c,
-                                   corrected) -> bytes:
+                                   nb2, no2c, nl2c, sb2, so2c, sl2c) -> bytes:
         """Failed-stream records in pair order (or1 line then or2 line,
         peprocessor.cpp:404-428) as one interleaved native format call."""
         W1, W2 = mat1s.shape[1], mat2s.shape[1]
@@ -688,16 +713,9 @@ class PairEndRunner:
         int_q[0::2, :W1] = mat1q
         int_s[1::2, :W2] = mat2s
         int_q[1::2, :W2] = mat2q
-        if corrected:
-            # dropped reads keep their pre-trim (post-UMI) original content
-            d1 = np.flatnonzero(dropped1)
-            if d1.size:
-                int_s[2 * d1, : pack1.width] = pack1.seq[lo + d1]
-                int_q[2 * d1, : pack1.width] = pack1.qual[lo + d1]
-            d2 = np.flatnonzero(dropped2)
-            if d2.size:
-                int_s[2 * d2 + 1, : pack2.width] = pack2.seq[lo + d2]
-                int_q[2 * d2 + 1, : pack2.width] = pack2.qual[lo + d2]
+        # dropped reads were never corrected (correction needs both sides
+        # alive), so the pack-coordinate matrices already hold their original
+        # post-UMI content; only the (start, len) spans differ below.
 
         starts = np.empty(2 * n, np.int32)
         lens = np.empty(2 * n, np.int32)
