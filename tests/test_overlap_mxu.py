@@ -1,0 +1,42 @@
+"""Cross-validation of the MXU (grouped-correlation) overlap analysis against
+the direct [B, offsets, L] comparison implementation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+_COMP = {65: 84, 84: 65, 67: 71, 71: 67, 78: 78}
+
+
+def _gen(B, L, rng, plant=True):
+    seq1 = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=(B, L),
+                      p=[.24, .24, .24, .24, .04]).astype(np.uint8)
+    seq2 = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=(B, L),
+                      p=[.24, .24, .24, .24, .04]).astype(np.uint8)
+    l1 = rng.integers(1, L + 1, B).astype(np.int32)
+    l2 = rng.integers(1, L + 1, B).astype(np.int32)
+    seq1 = np.where(np.arange(L)[None, :] < l1[:, None], seq1, 0).astype(np.uint8)
+    seq2 = np.where(np.arange(L)[None, :] < l2[:, None], seq2, 0).astype(np.uint8)
+    if plant:
+        for b in range(0, B, 2):
+            n1, n2 = int(l1[b]), int(l2[b])
+            ol = int(min(n1, n2, rng.integers(25, 80)))
+            frag = seq1[b, n1 - ol : n1]
+            rc = np.array([_COMP.get(int(c), 78) for c in frag[::-1]], np.uint8)
+            seq2[b, :ol] = rc
+    return seq1, l1, seq2, l2
+
+
+@pytest.mark.parametrize("L", [40, 96, 152, 200])
+@pytest.mark.parametrize("dl,orq", [(5, 30), (3, 20), (5, 12), (1, 30)])
+def test_mxu_matches_direct(L, dl, orq):
+    from fqtool_tpu.ops import overlap as ovp
+
+    rng = np.random.default_rng(L * 1000 + dl)
+    seq1, l1, seq2, l2 = _gen(48, L, rng)
+    a = ovp.analyze_mxu(seq1, l1, seq2, l2, dl, orq)
+    d = ovp.analyze(seq1, l1, seq2, l2, dl, orq)
+    for f in a._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(d, f)), err_msg=f)
