@@ -20,6 +20,7 @@ from ..host import report_json
 from ..host.duplicate import DuplicateTable
 from ..host.filterresult import FilterResultAccumulator
 from ..host.stats import StatsAccumulator
+from ..host.tracing import stage
 from ..host.umi import first_index, process_umi
 from ..io.fastq import (AsyncWriter, ReadPack, format_record,
                         iter_packs_paired, prefetch_iter)
@@ -202,8 +203,9 @@ class PairEndRunner:
             n = hi - lo
             real = np.zeros(rows, bool)
             real[:n] = True
-            out = pe_pipeline_call(
-                pad_rows(pack1.seq[lo:hi], rows),
+            with stage("pe_dispatch"):
+                out = pe_pipeline_call(
+                    pad_rows(pack1.seq[lo:hi], rows),
                 pad_rows(pack1.qual[lo:hi], rows),
                 pad_rows(pack1.lens[lo:hi], rows),
                 pad_rows(pack2.seq[lo:hi], rows),
@@ -220,8 +222,10 @@ class PairEndRunner:
                 with_kmer=bool(opt.kmer.enabled),
                 discard_unmerged=bool(opt.merge_pe.discard_unmerged),
             )
-            out = out.get()
-            rp, mc = self._fold_chunk(out, pack1, pack2, lo, n, keep, start1, start2,
+            with stage("pe_device_wait"):
+                out = out.get()
+            with stage("pe_fold"):
+                rp, mc = self._fold_chunk(out, pack1, pack2, lo, n, keep, start1, start2,
                                       parts, has_unpaired1, want_failed)
             read_passed += rp
             merged_count += mc

@@ -40,3 +40,19 @@ def test_mxu_matches_direct(L, dl, orq):
     for f in a._fields:
         np.testing.assert_array_equal(np.asarray(getattr(a, f)),
                                       np.asarray(getattr(d, f)), err_msg=f)
+
+
+@pytest.mark.parametrize("L", [40, 152])
+def test_pallas_matches_direct_interpret(L):
+    """The fused Pallas kernel (interpret mode -- this environment's remote
+    compiler cannot build Mosaic kernels) against the production path."""
+    from fqtool_tpu.ops import overlap as ovp
+    from fqtool_tpu.ops.pallas_overlap import analyze_pallas
+
+    rng = np.random.default_rng(L)
+    seq1, l1, seq2, l2 = _gen(48, L, rng)
+    a = analyze_pallas(seq1, l1, seq2, l2, 5, 30, interpret=True)
+    d = ovp.analyze(seq1, l1, seq2, l2, 5, 30)
+    for f in a._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(d, f)), err_msg=f)
