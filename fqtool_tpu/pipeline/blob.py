@@ -102,7 +102,13 @@ class BlobCall:
     """Callable wrapper: runs ``body`` under jit returning blobs, re-splits on
     host.  The output spec per (static kwargs, input shapes) signature is
     computed once with jax.eval_shape.  The call dispatches asynchronously and
-    returns a :class:`BlobResult`."""
+    returns a :class:`BlobResult`.
+
+    With a mesh installed via :meth:`set_mesh`, batch inputs (arrays whose
+    leading dimension matches the chunk rows) are placed sharded over the
+    read axis; jit then runs the pipeline data-parallel across the mesh,
+    inserting cross-device reductions for the stat sums.
+    """
 
     def __init__(self, body, static_argnames: Tuple[str, ...]):
         self._body = body
@@ -110,6 +116,30 @@ class BlobCall:
             lambda *a, **kw: blobify(body(*a, **kw)),
             static_argnames=static_argnames)
         self._specs: Dict[Any, Tuple] = {}
+        self._mesh = None
+        self._row_sharding = None
+
+    def set_mesh(self, mesh) -> None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        self._mesh = mesh
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            self._row_sharding = NamedSharding(mesh, PartitionSpec(axis))
+
+    def _place(self, args):
+        if self._mesh is None:
+            return args
+        rows = max((a.shape[0] for a in args if getattr(a, "ndim", 0) >= 1),
+                   default=0)
+        out = []
+        for a in args:
+            if getattr(a, "ndim", 0) >= 1 and a.shape[0] == rows and \
+                    rows % self._mesh.devices.size == 0:
+                out.append(jax.device_put(a, self._row_sharding))
+            else:
+                out.append(a)
+        return tuple(out)
 
     def __call__(self, *args, **static_kwargs) -> BlobResult:
         key = (tuple(sorted(static_kwargs.items())),
@@ -121,5 +151,5 @@ class BlobCall:
             entry = _build_spec(shaped)
             self._specs[key] = entry
         treedef, spec = entry
-        i32, u8 = self._jit(*args, **static_kwargs)
+        i32, u8 = self._jit(*self._place(args), **static_kwargs)
         return BlobResult(i32, u8, treedef, spec)

@@ -28,7 +28,7 @@ from ..ops.filters import FAILED_TYPES, PASS_FILTER
 from ..io.fastq import format_array_records
 from .pe import pe_pipeline_call
 from .runner import (SplitWriter, _TAG_BUF, _TAG_LEN, _TAG_OFF, chunk_rows,
-                     index_match, loginfo, pad_rows)
+                     index_match, loginfo, maybe_enable_sharding, pad_rows)
 
 # extended tag catalog: the fail-reason names plus the PE mate-fail tag
 _XTAG_BUF = _TAG_BUF + b"paired_read_is_failing"
@@ -126,6 +126,7 @@ class PairEndRunner:
     # ------------------------------------------------------------------
     def run(self) -> None:
         opt = self.opt
+        maybe_enable_sharding(pe_pipeline_call)
         split = SplitWriter(opt, paired=True) if opt.split.enabled else None
         w_out1 = (AsyncWriter(opt.out1, opt.compression)
                   if opt.out1 and not opt.split.enabled else None)

@@ -82,6 +82,23 @@ def start_host_copies(tree) -> None:
     return None
 
 
+def maybe_enable_sharding(*blob_calls) -> None:
+    """Data-parallel execution over all local devices: install a 1-D
+    read-axis mesh on the pipeline calls when more than one device is
+    available (disable with FQTOOL_TPU_SHARD=0)."""
+    if os.environ.get("FQTOOL_TPU_SHARD", "1") == "0":
+        return
+    devices = jax.devices()
+    if len(devices) < 2:
+        return
+    from ..dist.sharding import make_mesh
+
+    mesh = make_mesh()
+    for call in blob_calls:
+        call.set_mesh(mesh)
+    loginfo(f"data-parallel over {len(devices)} devices")
+
+
 def index_match(blacklist: List[str], target: bytes, threshold: int) -> bool:
     """Hamming-prefix match against a blacklist (reference: src/filter.cpp:191-211)."""
     t = target.decode("latin-1")
@@ -204,6 +221,7 @@ class SingleEndRunner:
     # ------------------------------------------------------------------
     def run(self) -> None:
         opt = self.opt
+        maybe_enable_sharding(se_pipeline_call)
         split = SplitWriter(opt, paired=False) if opt.split.enabled else None
         out_writer = (AsyncWriter(opt.out1, opt.compression)
                       if opt.out1 and not opt.split.enabled else None)
