@@ -36,7 +36,9 @@ class DuplicateTable:
         first-record rule)."""
         if not valid.any():
             return
-        key = key[valid].astype(np.int64)
+        # device keys ride as int32 bit patterns; reinterpret as unsigned so
+        # keylen > 15 (keys past 2^31) still indexes correctly
+        key = key[valid].view(np.uint32).astype(np.int64)
         kmer = (kmer_hi[valid].astype(np.uint64) << np.uint64(32)) | \
             kmer_lo[valid].astype(np.uint64)
         gc = gc[valid]

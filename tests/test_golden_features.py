@@ -133,3 +133,10 @@ def test_max_len_and_avg_qual(oracle, tmp_path):
     check(oracle, tmp_path,
           ["-i", str(R1), "-o", "out.fq.gz", "-q", "-b", "100", "-e", "25"],
           ["out.fq.gz"])
+
+
+def test_dup_keylen_13(oracle, tmp_path):
+    check(oracle, tmp_path,
+          ["-i", str(R1), "-o", "out.fq.gz", "-q", "-d",
+           "--dup_ana_key_len", "13", "--dup_ana_hist_size", "50"],
+          ["out.fq.gz"])
