@@ -46,9 +46,13 @@ def main() -> None:
         # warm-up on the small input to populate the JIT cache
         fq_main(["-i", TESTDATA, "-o", "warm.fq.gz", *argv_common])
 
-        t0 = time.perf_counter()
-        fq_main(["-i", big, "-o", "out.fq.gz", *argv_common])
-        dt = time.perf_counter() - t0
+        # best of 3 (matching BASELINE.md methodology; the remote TPU
+        # attachment's transfer bandwidth fluctuates run to run)
+        dt = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            fq_main(["-i", big, "-o", f"out{rep}.fq.gz", *argv_common])
+            dt = min(dt, time.perf_counter() - t0)
     finally:
         os.chdir(cwd)
         shutil.rmtree(workdir, ignore_errors=True)
