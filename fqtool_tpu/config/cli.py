@@ -214,6 +214,41 @@ _NEEDS: Sequence[Tuple[str, str, str, str]] = (
     ("umi_not_trim", "--umi_not_trim", "umi_enabled", "-u"),
     ("split_file_number", "--split_file_number", "split_by_file_number", "-s"),
     ("split_file_line", "--splie_file_line", "split_by_file_lines", "-S"),
+    # duplication (main.cpp:33-34)
+    ("dup_keylen", "--dup_ana_key_len", "dup_enabled", "-d"),
+    ("dup_hist_size", "--dup_ana_hist_size", "dup_enabled", "-d"),
+    # polyG / polyX (main.cpp:49-57)
+    ("polyg_min_len", "--min_len_detect_polyG", "polyg_enabled", "-g"),
+    ("polyg_max_mismatch", "--max_mismatches_polyG", "polyg_enabled", "-g"),
+    ("polyg_each", "--one_mismatch_each_polyG", "polyg_enabled", "-g"),
+    ("polyx_trim_chr", "--base_to_trim", "polyx_enabled", "-x"),
+    ("polyx_min_len", "--min_len_detect_polyX", "polyx_enabled", "-x"),
+    ("polyx_max_mismatch", "--max_mismatches_polyX", "polyx_enabled", "-x"),
+    ("polyx_each", "--one_mismatch_each_polyX", "polyx_enabled", "-x"),
+    # quality cuts (main.cpp:65-70) -- note --cut_right_mean_qual needs
+    # --enable_cut_tail in the reference (main.cpp:70), not cut_right
+    ("cut_front_window", "--cut_front_window", "enable_cut_front", "--enable_cut_front"),
+    ("cut_tail_window", "--cut_tail_window", "enable_cut_tail", "--enable_cut_tail"),
+    ("cut_right_window", "--cut_right_window", "enable_cut_right", "--enable_cut_right"),
+    ("cut_front_mean_qual", "--cut_front_mean_qual", "enable_cut_front", "--enable_cut_front"),
+    ("cut_tail_mean_qual", "--cut_tail_mean_qual", "enable_cut_tail", "--enable_cut_tail"),
+    ("cut_right_mean_qual", "--cut_right_mean_qual", "enable_cut_tail", "--enable_cut_tail"),
+    # quality filter (main.cpp:73-76)
+    ("low_quality_limit", "-Q", "qual_filter_enabled", "-q"),
+    ("low_quality_ratio", "-U", "qual_filter_enabled", "-q"),
+    ("n_base_limit", "-N", "qual_filter_enabled", "-q"),
+    ("average_quality_limit", "-e", "qual_filter_enabled", "-q"),
+    # length filter (main.cpp:79-80)
+    ("min_read_length", "--min_length", "length_filter_enabled", "-l"),
+    ("max_read_length", "--max_length", "length_filter_enabled", "-l"),
+    # complexity (main.cpp:83)
+    ("complexity_threshold", "-Y", "complexity_filter_enabled", "-y"),
+    # index filter (main.cpp:88)
+    ("max_diff_for_match", "--max_diff_for_match", "enable_index_filter",
+     "--enable_index_filter"),
+    # ORA / kmer (main.cpp:102, 105)
+    ("ora_sample", "--ora_sample", "ora_enabled", "--ora"),
+    ("kmer_length", "--kmer_length", "kmer_enabled", "--kmer"),
 )
 
 _EXCLUDES: Sequence[Tuple[str, str, str, str]] = (
