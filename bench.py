@@ -23,7 +23,7 @@ import time
 
 BASELINE_READS_PER_SEC = 16_700  # BASELINE.md config 1
 TESTDATA = "/root/reference/testdata/r1.fq.gz"
-REPLICAS = 16  # 12.5k reads x 16 = 200k reads
+REPLICAS = 32  # 12.5k reads x 32 = 400k reads
 
 
 def main() -> None:

@@ -1,10 +1,11 @@
 """Output blob packing.
 
-The remote TPU attachment pays a full round trip per fetched array and
-tolerates no concurrent outstanding transfers, so pipeline outputs (a pytree
-of ~15-25 arrays) are concatenated on device into two flat blobs -- one int32
-(ints, bools, bitcast uint32) and one uint8 (sequence matrices) -- fetched
-with two transfers and re-split on host with numpy views.
+The remote TPU attachment pays ~200ms of round-trip latency per fetched
+array (and ~20 MB/s device->host bandwidth) and tolerates no concurrent
+outstanding transfers, so pipeline outputs (a pytree of ~15-25 arrays) are
+concatenated on device into ONE flat int32 blob -- the uint8 section padded
+and bitcast -- fetched with a single transfer and re-split on host with
+numpy views.
 """
 
 from __future__ import annotations
@@ -18,7 +19,12 @@ import numpy as np
 
 
 def blobify(tree):
-    """Inside jit: flatten a pytree of arrays into (i32_blob, u8_blob)."""
+    """Inside jit: flatten a pytree of arrays into one int32 blob.
+
+    The remote attachment pays ~200ms of latency per device->host fetch
+    regardless of size, so everything -- including the uint8 section, padded
+    to 4 bytes and bitcast -- rides in a single array.
+    """
     leaves = jax.tree_util.tree_leaves(tree)
     i32_parts, u8_parts = [], []
     for x in leaves:
@@ -30,16 +36,21 @@ def blobify(tree):
             i32_parts.append(jax.lax.bitcast_convert_type(x, jnp.int32).reshape(-1))
         else:
             i32_parts.append(x.astype(jnp.int32).reshape(-1))
-    i32 = (jnp.concatenate(i32_parts) if i32_parts
-           else jnp.zeros((0,), jnp.int32))
-    u8 = (jnp.concatenate(u8_parts) if u8_parts
-          else jnp.zeros((0,), jnp.uint8))
-    return i32, u8
+    parts = list(i32_parts)
+    if u8_parts:
+        u8 = jnp.concatenate(u8_parts)
+        pad = (-u8.shape[0]) % 4
+        if pad:
+            u8 = jnp.pad(u8, (0, pad))
+        parts.append(jax.lax.bitcast_convert_type(u8.reshape(-1, 4), jnp.int32))
+    if not parts:
+        return jnp.zeros((0,), jnp.int32)
+    return jnp.concatenate(parts)
 
 
 def _build_spec(shaped_tree):
-    """From a jax.eval_shape result: per-leaf (group, offset, shape, dtype)
-    plus the treedef for reconstruction."""
+    """From a jax.eval_shape result: per-leaf (group, offset, shape, dtype),
+    the i32-section length, and the treedef for reconstruction."""
     leaves, treedef = jax.tree_util.tree_flatten(shaped_tree)
     spec = []
     off_i32 = off_u8 = 0
@@ -57,10 +68,12 @@ def _build_spec(shaped_tree):
         else:
             spec.append(("i32", off_i32, x.shape, np.dtype(x.dtype.name)))
             off_i32 += size
-    return treedef, spec
+    return treedef, spec, off_i32
 
 
-def unblobify(i32: np.ndarray, u8: np.ndarray, treedef, spec):
+def unblobify(blob: np.ndarray, treedef, spec, i32_len: int):
+    i32 = blob[:i32_len]
+    u8 = blob[i32_len:].view(np.uint8)
     leaves = []
     for group, off, shape, dtype in spec:
         size = int(np.prod(shape)) if shape else 1
@@ -83,19 +96,19 @@ def unblobify(i32: np.ndarray, u8: np.ndarray, treedef, spec):
 
 
 class BlobResult:
-    """Lazy handle over the two in-flight device blobs."""
+    """Lazy handle over the in-flight device blob."""
 
-    __slots__ = ("_i32", "_u8", "_treedef", "_spec")
+    __slots__ = ("_blob", "_treedef", "_spec", "_i32_len")
 
-    def __init__(self, i32, u8, treedef, spec):
-        self._i32 = i32
-        self._u8 = u8
+    def __init__(self, blob, treedef, spec, i32_len):
+        self._blob = blob
         self._treedef = treedef
         self._spec = spec
+        self._i32_len = i32_len
 
     def get(self):
-        return unblobify(np.asarray(self._i32), np.asarray(self._u8),
-                         self._treedef, self._spec)
+        return unblobify(np.asarray(self._blob), self._treedef, self._spec,
+                         self._i32_len)
 
 
 class BlobCall:
@@ -150,6 +163,6 @@ class BlobCall:
                 functools.partial(self._body, **static_kwargs), *args)
             entry = _build_spec(shaped)
             self._specs[key] = entry
-        treedef, spec = entry
-        i32, u8 = self._jit(*self._place(args), **static_kwargs)
-        return BlobResult(i32, u8, treedef, spec)
+        treedef, spec, i32_len = entry
+        blob = self._jit(*self._place(args), **static_kwargs)
+        return BlobResult(blob, treedef, spec, i32_len)

@@ -35,7 +35,7 @@ _XTAG_BUF = _TAG_BUF + b"paired_read_is_failing"
 _PAIRED_OFF = len(_TAG_BUF)
 _PAIRED_LEN = len(b"paired_read_is_failing")
 
-PE_CHUNK = int(os.environ.get("FQTOOL_TPU_PE_CHUNK", "4096"))
+PE_CHUNK = int(os.environ.get("FQTOOL_TPU_PE_CHUNK", "8192"))
 
 
 

@@ -47,7 +47,7 @@ def failed_tags(results: np.ndarray):
 # counts (padded with masked rows) so the jit cache holds a handful of
 # programs regardless of input size -- recompilation would dominate runtime,
 # especially with a remote-compile TPU attachment.
-SE_CHUNK = int(os.environ.get("FQTOOL_TPU_SE_CHUNK", "32768"))
+SE_CHUNK = int(os.environ.get("FQTOOL_TPU_SE_CHUNK", "131072"))
 _BUCKETS = (256, 2048, 8192)
 
 
