@@ -140,8 +140,9 @@ class PairEndRunner:
                     if opt.merge_pe.enabled and opt.merge_pe.out else None)
         w_failed = AsyncWriter(opt.failed_out, opt.compression) if opt.failed_out else None
 
+        # one device chunk (== one result fetch) per pack when split is off
         pack_reads = (opt.buf_size.max_reads_in_pack if opt.split.enabled
-                      else min(opt.buf_size.max_reads_in_pack, 4 * PE_CHUNK))
+                      else min(opt.buf_size.max_reads_in_pack, PE_CHUNK))
         total = 0
         for pack1, pack2 in prefetch_iter(iter_packs_paired(
                 opt.in1, opt.in2, opt.interleaved_input,
