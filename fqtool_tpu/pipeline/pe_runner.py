@@ -197,7 +197,14 @@ class PairEndRunner:
         merged_count = 0
 
         if not self._rows:
-            self._rows = chunk_rows(B, PE_CHUNK)
+            # the overlap analysis works over [rows, offsets, L] intermediates
+            # (~L^2 bytes per row); cap the chunk so long-read packs stay
+            # within a ~2 GiB working set
+            width = max(pack1.width, pack2.width)
+            cap = PE_CHUNK
+            while cap > 256 and cap * width * width > (1 << 31):
+                cap //= 2
+            self._rows = chunk_rows(B, cap)
         rows = self._rows
         lo = 0
         while lo < B:

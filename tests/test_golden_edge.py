@@ -85,3 +85,21 @@ def test_compression_level(oracle, tmp_path):
     check(oracle, tmp_path,
           ["-i", str(R1), "-o", "out.fq.gz", "-z", "9", "-q"],
           ["out.fq.gz"])
+
+
+def test_pe_long_reads(oracle, tmp_path):
+    """PE with reads past the long-read threshold exercises the chunk cap on
+    the quadratic overlap working set."""
+    rng = random.Random(21)
+    fq1, fq2 = tmp_path / "l1.fq", tmp_path / "l2.fq"
+    with open(fq1, "wb") as f1, open(fq2, "wb") as f2:
+        for i in range(400):
+            for f in (f1, f2):
+                n = rng.choice([320, 400, 500])
+                seq = "".join(rng.choices("ACGTN", weights=[24, 24, 24, 24, 2], k=n))
+                qual = "".join(chr(rng.randint(33, 73)) for _ in range(n))
+                f.write(f"@LP{i} 1:N:0:AAAA\n{seq}\n+\n{qual}\n".encode())
+    check(oracle, tmp_path,
+          ["-i", str(fq1), "-I", str(fq2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
+           "-q", "-c", "-a"],
+          ["o1.fq.gz", "o2.fq.gz"])
