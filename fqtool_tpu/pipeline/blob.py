@@ -26,17 +26,24 @@ def blobify(tree):
     to 4 bytes and bitcast -- rides in a single array.
     """
     leaves = jax.tree_util.tree_leaves(tree)
-    i32_parts, u8_parts = [], []
+    i32_parts, i16_parts, u8_parts = [], [], []
     for x in leaves:
         if x.dtype == jnp.uint8:
             u8_parts.append(x.reshape(-1))
         elif x.dtype == jnp.bool_:
             u8_parts.append(x.astype(jnp.uint8).reshape(-1))
+        elif x.dtype == jnp.int16:
+            i16_parts.append(x.reshape(-1))
         elif x.dtype == jnp.uint32:
             i32_parts.append(jax.lax.bitcast_convert_type(x, jnp.int32).reshape(-1))
         else:
             i32_parts.append(x.astype(jnp.int32).reshape(-1))
     parts = list(i32_parts)
+    if i16_parts:
+        i16 = jnp.concatenate(i16_parts)
+        if i16.shape[0] % 2:
+            i16 = jnp.pad(i16, (0, 1))
+        parts.append(jax.lax.bitcast_convert_type(i16.reshape(-1, 2), jnp.int32))
     if u8_parts:
         u8 = jnp.concatenate(u8_parts)
         pad = (-u8.shape[0]) % 4
@@ -53,7 +60,7 @@ def _build_spec(shaped_tree):
     the i32-section length, and the treedef for reconstruction."""
     leaves, treedef = jax.tree_util.tree_flatten(shaped_tree)
     spec = []
-    off_i32 = off_u8 = 0
+    off_i32 = off_i16 = off_u8 = 0
     for x in leaves:
         size = int(np.prod(x.shape)) if x.shape else 1
         if x.dtype == jnp.uint8:
@@ -62,18 +69,24 @@ def _build_spec(shaped_tree):
         elif x.dtype == jnp.bool_:
             spec.append(("u8", off_u8, x.shape, np.bool_))
             off_u8 += size
+        elif x.dtype == jnp.int16:
+            spec.append(("i16", off_i16, x.shape, np.int16))
+            off_i16 += size
         elif x.dtype == jnp.uint32:
             spec.append(("i32", off_i32, x.shape, np.uint32))
             off_i32 += size
         else:
             spec.append(("i32", off_i32, x.shape, np.dtype(x.dtype.name)))
             off_i32 += size
-    return treedef, spec, off_i32
+    i16_words = (off_i16 + 1) // 2
+    return treedef, spec, (off_i32, i16_words)
 
 
-def unblobify(blob: np.ndarray, treedef, spec, i32_len: int):
+def unblobify(blob: np.ndarray, treedef, spec, section_lens):
+    i32_len, i16_words = section_lens
     i32 = blob[:i32_len]
-    u8 = blob[i32_len:].view(np.uint8)
+    i16 = blob[i32_len : i32_len + i16_words].view(np.int16)
+    u8 = blob[i32_len + i16_words :].view(np.uint8)
     leaves = []
     for group, off, shape, dtype in spec:
         size = int(np.prod(shape)) if shape else 1
@@ -82,6 +95,8 @@ def unblobify(blob: np.ndarray, treedef, spec, i32_len: int):
             if dtype == np.bool_:
                 arr = arr.astype(bool)
             arr = arr.reshape(shape)
+        elif group == "i16":
+            arr = i16[off : off + size].reshape(shape)
         else:
             arr = i32[off : off + size]
             if dtype == np.uint32:
@@ -98,17 +113,17 @@ def unblobify(blob: np.ndarray, treedef, spec, i32_len: int):
 class BlobResult:
     """Lazy handle over the in-flight device blob."""
 
-    __slots__ = ("_blob", "_treedef", "_spec", "_i32_len")
+    __slots__ = ("_blob", "_treedef", "_spec", "_sections")
 
-    def __init__(self, blob, treedef, spec, i32_len):
+    def __init__(self, blob, treedef, spec, sections):
         self._blob = blob
         self._treedef = treedef
         self._spec = spec
-        self._i32_len = i32_len
+        self._sections = sections
 
     def get(self):
         return unblobify(np.asarray(self._blob), self._treedef, self._spec,
-                         self._i32_len)
+                         self._sections)
 
 
 class BlobCall:
@@ -163,6 +178,6 @@ class BlobCall:
                 functools.partial(self._body, **static_kwargs), *args)
             entry = _build_spec(shaped)
             self._specs[key] = entry
-        treedef, spec, i32_len = entry
+        treedef, spec, sections = entry
         blob = self._jit(*self._place(args), **static_kwargs)
-        return BlobResult(blob, treedef, spec, i32_len)
+        return BlobResult(blob, treedef, spec, sections)

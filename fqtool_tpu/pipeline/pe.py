@@ -97,7 +97,7 @@ def pe_pipeline(
                                       each=p.polyg_min_len)
             newr = jnp.where(both, pg.rlen, r)
             out[f"polyg_trimmed{side}"] = pg.trimmed & both
-            out[f"polyg_trim_len{side}"] = pg.trim_len
+            out[f"polyg_trim_len{side}"] = pg.trim_len.astype(jnp.int16)
             if side == 1:
                 rlen1 = newr
             else:
@@ -115,29 +115,29 @@ def pe_pipeline(
             ov.overlapped,
             jnp.where(ov.offset > 0, rlen1 + rlen2 - ov.overlap_len, ov.overlap_len),
             isize_default)
-        out["isize"] = jnp.minimum(isize, p.insert_size_max)
+        out["isize"] = jnp.minimum(isize, p.insert_size_max).astype(jnp.int16)
         out["isize_valid"] = both
         if p.correction_enabled:
             cr = ops_correct.correct_by_overlap(seq1, qual1, rlen1,
                                                 seq2, qual2, rlen2, ov, both)
             seq1, qual1 = cr.seq1, cr.qual1
             seq2, qual2 = cr.seq2, cr.qual2
-            out["corrected1"] = cr.corrected1
-            out["corrected2"] = cr.corrected2
+            out["corrected1"] = cr.corrected1.astype(jnp.uint8)
+            out["corrected2"] = cr.corrected2.astype(jnp.uint8)
             out["correction_matrix"] = cr.matrix
             # sparse patches: the host applies them to its pack copies instead
             # of fetching the full corrected matrices
             out["corr_pos1"], out["corr_seq1"], out["corr_qual1"] = \
-                cr.pos1, cr.new_seq1, cr.new_qual1
+                cr.pos1.astype(jnp.int16), cr.new_seq1, cr.new_qual1
             out["corr_pos2"], out["corr_seq2"], out["corr_qual2"] = \
-                cr.pos2, cr.new_seq2, cr.new_qual2
+                cr.pos2.astype(jnp.int16), cr.new_seq2, cr.new_qual2
         if p.adapter_trimming_enabled:
             # overlap-based trim first (adaptertrimmer.cpp:14-27)
             ov_trim = (both & (ov.diff <= 5) & ov.overlapped & (ov.offset < 0)
                        & (ov.overlap_len > rlen1 // 3))
             out["ov_trimmed"] = ov_trim
-            out["len1_before_ov_trim"] = rlen1
-            out["len2_before_ov_trim"] = rlen2
+            out["len1_before_ov_trim"] = rlen1.astype(jnp.int16)
+            out["len2_before_ov_trim"] = rlen2.astype(jnp.int16)
             rlen1 = jnp.where(ov_trim, ov.overlap_len, rlen1)
             rlen2 = jnp.where(ov_trim, ov.overlap_len, rlen2)
             # by-sequence fallback when not trimmed (peprocessor.cpp:318-325)
@@ -147,14 +147,14 @@ def pe_pipeline(
                 use = both & ~ov_trim
                 rlen1 = jnp.where(use, ad1.rlen, rlen1)
                 out["adapter_found1"] = ad1.found & use
-                out["adapter_pos1"] = ad1.pos
+                out["adapter_pos1"] = ad1.pos.astype(jnp.int16)
             if adapter_r2:
                 ad2 = ops_adapter.trim_by_sequence(
                     seq2, rlen2, np.frombuffer(adapter_r2, np.uint8))
                 use = both & ~ov_trim
                 rlen2 = jnp.where(use, ad2.rlen, rlen2)
                 out["adapter_found2"] = ad2.found & use
-                out["adapter_pos2"] = ad2.pos
+                out["adapter_pos2"] = ad2.pos.astype(jnp.int16)
     else:
         # insert-size fallback analysis (peprocessor.cpp:329-333)
         ov = ops_overlap.analyze(seq1, rlen1, seq2, rlen2,
@@ -163,10 +163,10 @@ def pe_pipeline(
             ov.overlapped,
             jnp.where(ov.offset > 0, rlen1 + rlen2 - ov.overlap_len, ov.overlap_len),
             isize_default)
-        out["isize"] = jnp.minimum(isize, p.insert_size_max)
+        out["isize"] = jnp.minimum(isize, p.insert_size_max).astype(jnp.int16)
         out["isize_valid"] = both
-    out["len_after_adapter1"] = rlen1
-    out["len_after_adapter2"] = rlen2
+    out["len_after_adapter1"] = rlen1.astype(jnp.int16)
+    out["len_after_adapter2"] = rlen2.astype(jnp.int16)
 
     # 7. polyX (peprocessor.cpp:335-340)
     if p.polyx_enabled:
@@ -176,8 +176,8 @@ def pe_pipeline(
                                       p.polyx_max_mismatch, p.polyx_each)
             newr = jnp.where(both, px.rlen, r)
             out[f"polyx_trimmed{side}"] = px.trimmed & both
-            out[f"polyx_trim_len{side}"] = px.trim_len
-            out[f"polyx_base{side}"] = px.base_idx
+            out[f"polyx_trim_len{side}"] = px.trim_len.astype(jnp.int16)
+            out[f"polyx_base{side}"] = px.base_idx.astype(jnp.uint8)
             if side == 1:
                 rlen1 = newr
             else:
@@ -192,7 +192,8 @@ def pe_pipeline(
     # 9. classification ------------------------------------------------
     result1 = ops_filters.pass_filter(seq1, qual1, rlen1, drop1, p)
     result2 = ops_filters.pass_filter(seq2, qual2, rlen2, drop2, p)
-    out["result1"], out["result2"] = result1, result2
+    out["result1"] = result1.astype(jnp.uint8)
+    out["result2"] = result2.astype(jnp.uint8)
     pass1 = result1 == ops_filters.PASS_FILTER
     pass2 = result2 == ops_filters.PASS_FILTER
 
@@ -206,10 +207,10 @@ def pe_pipeline(
                                           jnp.zeros_like(mergeable), p)
         passM = resultM == ops_filters.PASS_FILTER
         out["mergeable"] = mergeable
-        out["resultM"] = resultM
-        out["merged_len1"] = mg.len1
-        out["merged_len2"] = mg.len2
-        out["merged_rlen"] = mg.rlen
+        out["resultM"] = resultM.astype(jnp.uint8)
+        out["merged_len1"] = mg.len1.astype(jnp.int16)
+        out["merged_len2"] = mg.len2.astype(jnp.int16)
+        out["merged_rlen"] = mg.rlen.astype(jnp.int16)
         sel_m = mergeable & passM & keep
         # unmerged kept reads statted individually (peprocessor.cpp:367-379)
         if discard_unmerged:
@@ -226,8 +227,8 @@ def pe_pipeline(
             out["post1_kmer"] = ops_stats.kmer_counts(seq1, rlen1, p.kmer_len, select=sel1)
             out["post2_kmer"] = ops_stats.kmer_counts(seq2, rlen2, p.kmer_len, select=sel2)
         # merged offset feeds host-side merged-record assembly
-        out["merged_offset"] = ov2.offset
-        out["merged_ol"] = ov2.overlap_len
+        out["merged_offset"] = ov2.offset.astype(jnp.int16)
+        out["merged_ol"] = ov2.overlap_len.astype(jnp.int16)
     else:
         sel = pass1 & pass2 & keep & both
         out["post1"] = ops_stats.stat_batch(seq1, qual1, rlen1, select=sel)
@@ -236,9 +237,13 @@ def pe_pipeline(
             out["post1_kmer"] = ops_stats.kmer_counts(seq1, rlen1, p.kmer_len, select=sel)
             out["post2_kmer"] = ops_stats.kmer_counts(seq2, rlen2, p.kmer_len, select=sel)
 
-    out["front1"] = (start1 if use_start0 else jnp.zeros_like(lens1)) + tc1.front
-    out["front2"] = (start2 if use_start0 else jnp.zeros_like(lens2)) + tc2.front
-    out["rlen1"], out["rlen2"] = rlen1, rlen2
+    span_t = jnp.int16 if max(seq1.shape[1], seq2.shape[1]) < (1 << 15) else jnp.int32
+    out["front1"] = ((start1 if use_start0 else jnp.zeros_like(lens1))
+                     + tc1.front).astype(span_t)
+    out["front2"] = ((start2 if use_start0 else jnp.zeros_like(lens2))
+                     + tc2.front).astype(span_t)
+    out["rlen1"] = rlen1.astype(span_t)
+    out["rlen2"] = rlen2.astype(span_t)
     out["dropped1"], out["dropped2"] = drop1, drop2
     return out
 

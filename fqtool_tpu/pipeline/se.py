@@ -87,7 +87,6 @@ def se_pipeline(
         qual = align(qual, tc.front)
     rlen = tc.rlen
     dropped = tc.dropped
-    out["len_after_cut"] = rlen
 
     # 5. polyG trimming (seprocessor.cpp:316-318); skipped for dropped reads
     if p.polyg_enabled:
@@ -95,17 +94,16 @@ def se_pipeline(
                                   p.polyg_max_mismatch, p.polyg_each)
         rlen = jnp.where(dropped, rlen, pg.rlen)
         out["polyg_trimmed"] = pg.trimmed & ~dropped
-        out["polyg_trim_len"] = pg.trim_len
-    out["len_after_polyg"] = rlen
+        out["polyg_trim_len"] = pg.trim_len.astype(jnp.int16)
 
     # 6. adapter trimming by provided sequence (seprocessor.cpp:321-323)
     if p.adapter_trimming_enabled and adapter_r1:
+        out["len_after_polyg"] = rlen.astype(jnp.int16)
         ad = ops_adapter.trim_by_sequence(
             seq, rlen, np.frombuffer(adapter_r1, np.uint8))
         rlen = jnp.where(dropped, rlen, ad.rlen)
         out["adapter_found"] = ad.found & ~dropped
-        out["adapter_pos"] = ad.pos
-    out["len_after_adapter"] = rlen
+        out["adapter_pos"] = ad.pos.astype(jnp.int16)
 
     # 7. polyX trimming (seprocessor.cpp:326-329)
     if p.polyx_enabled:
@@ -113,8 +111,8 @@ def se_pipeline(
                                   p.polyx_max_mismatch, p.polyx_each)
         rlen = jnp.where(dropped, rlen, px.rlen)
         out["polyx_trimmed"] = px.trimmed & ~dropped
-        out["polyx_trim_len"] = px.trim_len
-        out["polyx_base"] = px.base_idx
+        out["polyx_trim_len"] = px.trim_len.astype(jnp.int16)
+        out["polyx_base"] = px.base_idx.astype(jnp.uint8)
 
     # 8. max length resize (seprocessor.cpp:332-336)
     if p.max_len > 0:
@@ -129,10 +127,13 @@ def se_pipeline(
     if with_kmer and p.kmer_len:
         out["post_kmer"] = ops_stats.kmer_counts(seq, rlen, p.kmer_len, select=passed)
 
-    out["result"] = result
+    # compact dtypes: the remote fetch is latency/bandwidth bound, and
+    # results / spans fit in 8/16 bits whenever the (static) read width does
+    span_t = jnp.int16 if seq.shape[1] < (1 << 15) else jnp.int32
+    out["result"] = result.astype(jnp.uint8)
     out["passed"] = passed
-    out["front"] = start0 + tc.front  # total offset into the original rows
-    out["rlen"] = rlen
+    out["front"] = (start0 + tc.front).astype(span_t)
+    out["rlen"] = rlen.astype(span_t)
     out["dropped"] = dropped
     return out
 
