@@ -404,7 +404,9 @@ def namespace_to_options(ns: argparse.Namespace) -> Options:
     opt.split.number = ns.split_file_number
     opt.split.by_file_lines = ns.split_by_file_lines
     opt.split.size = ns.split_file_line
-    opt.split.digits = ns.digits
+    # NOTE: --digits_file_name binds to the top-level digits field in the
+    # reference (main.cpp:116) while split naming reads split.digits, which
+    # stays at its default of 4 -- the flag is effectively dead; replicated.
 
     opt.buf_size.max_packs_in_repo = ns.max_packs_in_repo
     opt.buf_size.max_reads_in_pack = ns.max_item_in_pack

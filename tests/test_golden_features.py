@@ -140,3 +140,37 @@ def test_dup_keylen_13(oracle, tmp_path):
           ["-i", str(R1), "-o", "out.fq.gz", "-q", "-d",
            "--dup_ana_key_len", "13", "--dup_ana_hist_size", "50"],
           ["out.fq.gz"])
+
+
+def test_umi_index2_and_per_index(oracle, tmp_path):
+    check(oracle, tmp_path,
+          ["-i", str(R1), "-I", str(R2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
+           "-u", "--umi_location", "2"],
+          ["o1.fq.gz", "o2.fq.gz"])
+    check(oracle, tmp_path / "p5",
+          ["-i", str(R1), "-I", str(R2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
+           "-u", "--umi_location", "5", "--umi_drop_comment"],
+          ["o1.fq.gz", "o2.fq.gz"])
+
+
+def test_umi_read2_no_trim(oracle, tmp_path):
+    check(oracle, tmp_path,
+          ["-i", str(R1), "-I", str(R2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
+           "-u", "--umi_location", "4", "--umi_length", "5", "--umi_not_trim"],
+          ["o1.fq.gz", "o2.fq.gz"])
+
+
+def test_split_digits(oracle, tmp_path):
+    args = ["-i", str(R1), "-o", "out.fq", "-q", "-S", "--splie_file_line",
+            "4000", "--max_item_in_pack", "4000", "--digits_file_name", "2"]
+    ours_dir = tmp_path / "ours"
+    oracle_dir = tmp_path / "oracle"
+    res = oracle.run(args + ["-w", "1"], oracle_dir)
+    assert res.returncode == 0, res.stderr
+    run_ours(args, ours_dir)
+    ours_files = sorted(p.name for p in ours_dir.glob("*.out.fq"))
+    ref_files = sorted(p.name for p in oracle_dir.glob("*.out.fq"))
+    assert ours_files == ref_files and ours_files, (ours_files, ref_files)
+    for name in ref_files:
+        d = diff_fastq(read_fastq(ours_dir / name), read_fastq(oracle_dir / name))
+        assert not d, f"{name}: " + "\n".join(d)
