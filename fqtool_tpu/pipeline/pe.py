@@ -118,8 +118,12 @@ def pe_pipeline(
         out["isize"] = jnp.minimum(isize, p.insert_size_max).astype(jnp.int16)
         out["isize_valid"] = both
         if p.correction_enabled:
+            # index-filtered pairs are skipped before correction in the
+            # reference (peprocessor.cpp:283-286), so they must not contribute
+            # corrections or counter increments
             cr = ops_correct.correct_by_overlap(seq1, qual1, rlen1,
-                                                seq2, qual2, rlen2, ov, both)
+                                                seq2, qual2, rlen2, ov,
+                                                both & keep)
             seq1, qual1 = cr.seq1, cr.qual1
             seq2, qual2 = cr.seq2, cr.qual2
             out["corrected1"] = cr.corrected1.astype(jnp.uint8)

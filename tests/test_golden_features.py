@@ -107,9 +107,9 @@ def test_split_by_file_number(oracle, tmp_path):
 
 
 def test_index_filter(oracle, tmp_path):
-    # blacklist the most common index in the data
+    # "TAGGTCC" @ diff<=1 also matches the dominant "TAGTTCC" index
     idx_file = tmp_path / "index1.txt"
-    idx_file.write_text("GAGATTCC\n")
+    idx_file.write_text("TAGGTCC\n")
     check(oracle, tmp_path,
           ["-i", str(R1), "-o", "out.fq.gz", "-q", "--enable_index_filter",
            "--index1_file", str(idx_file), "--max_diff_for_match", "1"],
@@ -174,3 +174,17 @@ def test_split_digits(oracle, tmp_path):
     for name in ref_files:
         d = diff_fastq(read_fastq(ours_dir / name), read_fastq(oracle_dir / name))
         assert not d, f"{name}: " + "\n".join(d)
+
+
+def test_index_filter_pe_with_correction(oracle, tmp_path):
+    # index-filtered pairs must be skipped BEFORE correction, so they cannot
+    # contribute to the correction counters (peprocessor.cpp:283-286)
+    idx_file = tmp_path / "index1.txt"
+    # "TAGGTCC" @ diff<=1 also matches the dominant "TAGTTCC" index, so most
+    # pairs get filtered -- their would-be corrections must not be counted
+    idx_file.write_text("TAGGTCC\n")
+    check(oracle, tmp_path,
+          ["-i", str(R1), "-I", str(R2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
+           "-c", "--enable_index_filter", "--index1_file", str(idx_file),
+           "--max_diff_for_match", "1"],
+          ["o1.fq.gz", "o2.fq.gz"])
