@@ -140,9 +140,14 @@ class PairEndRunner:
                     if opt.merge_pe.enabled and opt.merge_pe.out else None)
         w_failed = AsyncWriter(opt.failed_out, opt.compression) if opt.failed_out else None
 
-        # one device chunk (== one result fetch) per pack when split is off
+        # several device chunks per pack when split is off: all chunks of a
+        # pack are dispatched asynchronously before the first result is
+        # fetched, so the device computes chunk k+1 while the host fetches and
+        # folds chunk k (same intra-pack pattern as the SE runner)
+        pack_chunks = int(os.environ.get("FQTOOL_TPU_PE_PACK_CHUNKS", "4"))
         pack_reads = (opt.buf_size.max_reads_in_pack if opt.split.enabled
-                      else min(opt.buf_size.max_reads_in_pack, PE_CHUNK))
+                      else min(opt.buf_size.max_reads_in_pack,
+                               PE_CHUNK * pack_chunks))
         total = 0
         for pack1, pack2 in prefetch_iter(iter_packs_paired(
                 opt.in1, opt.in2, opt.interleaved_input,
@@ -206,6 +211,9 @@ class PairEndRunner:
                 cap //= 2
             self._rows = chunk_rows(B, cap)
         rows = self._rows
+        # dispatch every chunk asynchronously, then fold in order: the device
+        # runs ahead on later chunks while the host fetches/folds earlier ones
+        pending = []
         lo = 0
         while lo < B:
             hi = min(lo + rows, B)
@@ -213,32 +221,33 @@ class PairEndRunner:
             real = np.zeros(rows, bool)
             real[:n] = True
             with stage("pe_dispatch"):
-                out = pe_pipeline_call(
+                pending.append((lo, n, pe_pipeline_call(
                     pad_rows(pack1.seq[lo:hi], rows),
-                pad_rows(pack1.qual[lo:hi], rows),
-                pad_rows(pack1.lens[lo:hi], rows),
-                pad_rows(pack2.seq[lo:hi], rows),
-                pad_rows(pack2.qual[lo:hi], rows),
-                pad_rows(pack2.lens[lo:hi], rows),
-                pad_rows(start1[lo:hi], rows),
-                pad_rows(start2[lo:hi], rows),
-                pad_rows(keep[lo:hi], rows),
-                real,
-                p=self.p1, p2=self.p2,
-                adapter_r1=self.adapter_r1,
-                adapter_r2=self.adapter_r2,
-                use_start0=bool(opt.umi.enabled),
-                with_kmer=bool(opt.kmer.enabled),
-                discard_unmerged=bool(opt.merge_pe.discard_unmerged),
-            )
+                    pad_rows(pack1.qual[lo:hi], rows),
+                    pad_rows(pack1.lens[lo:hi], rows),
+                    pad_rows(pack2.seq[lo:hi], rows),
+                    pad_rows(pack2.qual[lo:hi], rows),
+                    pad_rows(pack2.lens[lo:hi], rows),
+                    pad_rows(start1[lo:hi], rows),
+                    pad_rows(start2[lo:hi], rows),
+                    pad_rows(keep[lo:hi], rows),
+                    real,
+                    p=self.p1, p2=self.p2,
+                    adapter_r1=self.adapter_r1,
+                    adapter_r2=self.adapter_r2,
+                    use_start0=bool(opt.umi.enabled),
+                    with_kmer=bool(opt.kmer.enabled),
+                    discard_unmerged=bool(opt.merge_pe.discard_unmerged),
+                )))
+            lo = hi
+        for lo, n, call in pending:
             with stage("pe_device_wait"):
-                out = out.get()
+                out = call.get()
             with stage("pe_fold"):
                 rp, mc = self._fold_chunk(out, pack1, pack2, lo, n, keep, start1, start2,
                                       parts, has_unpaired1, want_failed)
             read_passed += rp
             merged_count += mc
-            lo = hi
 
         if opt.merge_pe.enabled:
             self.filter_result.add_merged_pairs(merged_count)
