@@ -144,7 +144,7 @@ class PairEndRunner:
         # pack are dispatched asynchronously before the first result is
         # fetched, so the device computes chunk k+1 while the host fetches and
         # folds chunk k (same intra-pack pattern as the SE runner)
-        pack_chunks = int(os.environ.get("FQTOOL_TPU_PE_PACK_CHUNKS", "4"))
+        pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_PE_PACK_CHUNKS", "4")))
         pack_reads = (opt.buf_size.max_reads_in_pack if opt.split.enabled
                       else min(opt.buf_size.max_reads_in_pack,
                                PE_CHUNK * pack_chunks))

@@ -228,11 +228,16 @@ class SingleEndRunner:
         failed_writer = (AsyncWriter(opt.failed_out, opt.compression)
                          if opt.failed_out else None)
 
-        # one device chunk per pack when split output is off: read, compute,
-        # format, and write then pipeline across packs (pack size only affects
-        # output content through split-file rotation boundaries)
+        # pack size only affects output content through split-file rotation
+        # boundaries, so when split is off the pack is sized as a multiple of
+        # the device chunk: every chunk runs full (no padded rows), and with
+        # FQTOOL_TPU_SE_PACK_CHUNKS>1 the device computes chunk k+1 while the
+        # host folds chunk k (SE measures best with one big chunk per pack --
+        # per-fetch tunnel latency outweighs the overlap; PE is the opposite,
+        # see pe_runner.py)
+        pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_SE_PACK_CHUNKS", "1")))
         pack_reads = (opt.buf_size.max_reads_in_pack if opt.split.enabled
-                      else min(opt.buf_size.max_reads_in_pack, SE_CHUNK))
+                      else SE_CHUNK * pack_chunks)
         total = 0
 
         def emit(pack):
