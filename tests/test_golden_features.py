@@ -188,3 +188,32 @@ def test_index_filter_pe_with_correction(oracle, tmp_path):
            "-c", "--enable_index_filter", "--index1_file", str(idx_file),
            "--max_diff_for_match", "1"],
           ["o1.fq.gz", "o2.fq.gz"])
+
+
+def test_index_filter_pe_blacklist2(oracle, tmp_path):
+    # blacklist2 is matched against r2's firstIndex (filter.cpp:222-231)
+    idx_file = tmp_path / "index2.txt"
+    idx_file.write_text("TAGTTCA\n")
+    check(oracle, tmp_path,
+          ["-i", str(R1), "-I", str(R2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
+           "-q", "--enable_index_filter", "--index2_file", str(idx_file),
+           "--max_diff_for_match", "0"],
+          ["o1.fq.gz", "o2.fq.gz"])
+
+
+def test_phred64_pe(oracle, tmp_path):
+    # synthesize phred64-encoded PE inputs from the first 2000 pairs
+    paths = []
+    for src, name in ((R1, "r1_p64.fq"), (R2, "r2_p64.fq")):
+        p = tmp_path / name
+        recs = read_fastq(src)[:2000]
+        with open(p, "wb") as f:
+            for rname, seq, strand, qual in recs:
+                q64 = bytes(min(q + 31, 126) for q in qual)
+                f.write(b"\n".join([rname, seq, strand, q64]) + b"\n")
+        paths.append(p)
+    check(oracle, tmp_path,
+          ["-i", str(paths[0]), "-I", str(paths[1]), "-o", "o1.fq.gz",
+           "-O", "o2.fq.gz", "-q", "--phred64", "-c", "-m",
+           "--merge_output", "m.fq.gz"],
+          ["o1.fq.gz", "o2.fq.gz", "m.fq.gz"])
