@@ -19,26 +19,74 @@ from typing import Tuple
 import numpy as np
 
 
+# Dense per-key arrays cost 22 bytes x 4^keylen: fine through keylen 15
+# (~24 GB at 15 is already too much -- cap lower), unacceptable past it.  The
+# reference allocates 13 B x 4^keylen unconditionally and OOMs at keylen >= 16
+# (duplicate.cpp:3-13); instead of copying that flaw, large key lengths spill
+# to a sparse slot table (dict key->slot over growable arrays) with identical
+# combine semantics.
+_DENSE_KEYLEN_MAX = 15  # 4^15 * 22 B = 24 GB worst case; >= 16 goes sparse
+
+
 class DuplicateTable:
-    def __init__(self, keylen: int, hist_size: int):
+    def __init__(self, keylen: int, hist_size: int, force_sparse: bool = False):
         self.keylen = keylen
         self.hist_size = hist_size
-        n = 1 << (2 * keylen)
+        self.sparse = force_sparse or keylen > _DENSE_KEYLEN_MAX
+        n = 1024 if self.sparse else (1 << (2 * keylen))
+        self._slots: dict = {} if self.sparse else None
         self.min_kmer = np.full(n, np.iinfo(np.uint64).max, np.uint64)
         self.counts = np.zeros(n, np.uint32)
         self.first_kmer = np.zeros(n, np.uint64)
         self.first_gc = np.zeros(n, np.uint8)
         self.seen = np.zeros(n, bool)
 
+    def _grow(self, need: int) -> None:
+        cap = len(self.counts)
+        if need <= cap:
+            return
+        new_cap = max(need, cap * 2)
+
+        def grow(a, fill=0):
+            out = np.full(new_cap, fill, a.dtype)
+            out[:cap] = a
+            return out
+
+        self.min_kmer = grow(self.min_kmer, np.iinfo(np.uint64).max)
+        self.counts = grow(self.counts)
+        self.first_kmer = grow(self.first_kmer)
+        self.first_gc = grow(self.first_gc)
+        self.seen = grow(self.seen)
+
+    def _to_slots(self, key: np.ndarray) -> np.ndarray:
+        """Map raw keys to dense slot indices (sparse mode), preserving order."""
+        slots = self._slots
+        nxt = len(slots)
+        out = np.empty(len(key), np.int64)
+        for i, k in enumerate(key.tolist()):
+            s = slots.get(k)
+            if s is None:
+                s = slots[k] = nxt
+                nxt += 1
+            out[i] = s
+        self._grow(nxt)
+        return out
+
     def add_batch(self, key: np.ndarray, kmer_hi: np.ndarray, kmer_lo: np.ndarray,
-                  gc: np.ndarray, valid: np.ndarray) -> None:
+                  gc: np.ndarray, valid: np.ndarray,
+                  key_hi: np.ndarray = None) -> None:
         """Fold one batch of per-read records (input order preserved for the
-        first-record rule)."""
+        first-record rule).  ``key_hi`` carries key bits past 32 (keylen > 16,
+        sparse mode only)."""
         if not valid.any():
             return
         # device keys ride as int32 bit patterns; reinterpret as unsigned so
-        # keylen > 15 (keys past 2^31) still indexes correctly
+        # keylen = 16 (keys past 2^31) still indexes correctly
         key = key[valid].view(np.uint32).astype(np.int64)
+        if key_hi is not None:
+            key = key | (key_hi[valid].view(np.uint32).astype(np.int64) << 32)
+        if self.sparse:
+            key = self._to_slots(key)
         kmer = (kmer_hi[valid].astype(np.uint64) << np.uint64(32)) | \
             kmer_lo[valid].astype(np.uint64)
         gc = gc[valid]

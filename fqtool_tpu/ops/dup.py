@@ -17,11 +17,23 @@ from .common import C, G, seq2int_codes, valid_mask
 
 
 class DupKeys(NamedTuple):
-    key: jnp.ndarray       # int32 [B]  (2*keylen bits; keylen <= 15 on device)
+    key: jnp.ndarray       # int32 [B]  (low 32 key bits)
     kmer_hi: jnp.ndarray   # uint32 [B] first 16 bases of the 32-mer
     kmer_lo: jnp.ndarray   # uint32 [B] last 16 bases
     gc: jnp.ndarray        # uint8 [B] round(255 * gc / len)
     valid: jnp.ndarray     # bool [B]
+    key_hi: jnp.ndarray = None  # int32 [B] key bits past 32 (keylen > 16 only)
+
+
+def _pack_key(codes: jnp.ndarray, keylen: int):
+    """2-bit pack the first ``keylen`` bases; keys wider than 32 bits split
+    into (low, high) uint32 halves (no 64-bit ints on device)."""
+    if keylen <= 16:
+        key, ok = _pack_2bit_fixed(codes, 0, keylen)
+        return key, None, ok
+    hi, ok1 = _pack_2bit_fixed(codes, 0, keylen - 16)
+    lo, ok2 = _pack_2bit_fixed(codes, keylen - 16, 16)
+    return lo, hi.astype(jnp.int32), ok1 & ok2
 
 
 def _pack_2bit_fixed(codes: jnp.ndarray, start: int, n: int):
@@ -69,13 +81,13 @@ def dup_keys_se(seq: jnp.ndarray, rlen: jnp.ndarray, keylen: int) -> DupKeys:
     max(0, len - 32 - 5)."""
     B, L = seq.shape
     codes = seq2int_codes(seq)
-    key, key_ok = _pack_2bit_fixed(codes, 0, keylen)
+    key, key_hi, key_ok = _pack_key(codes, keylen)
     start2 = jnp.maximum(0, rlen - 32 - 5)
     hi, hi_ok = _pack_2bit(codes, start2, 16)
     lo, lo_ok = _pack_2bit(codes, start2 + 16, 16)
     valid = (rlen >= 32) & key_ok & hi_ok & lo_ok
     gc = _gc_byte(seq, rlen, rlen)
-    return DupKeys(key.astype(jnp.int32), hi, lo, gc, valid)
+    return DupKeys(key.astype(jnp.int32), hi, lo, gc, valid, key_hi)
 
 
 def dup_keys_pe(seq1: jnp.ndarray, rlen1: jnp.ndarray,
@@ -85,7 +97,7 @@ def dup_keys_pe(seq1: jnp.ndarray, rlen1: jnp.ndarray,
     B, L1 = seq1.shape
     codes1 = seq2int_codes(seq1)
     codes2 = seq2int_codes(seq2)
-    key, key_ok = _pack_2bit_fixed(codes1, 0, keylen)
+    key, key_hi, key_ok = _pack_key(codes1, keylen)
     hi, hi_ok = _pack_2bit_fixed(codes2, 0, 16)
     lo, lo_ok = _pack_2bit_fixed(codes2, 16, 16)
     valid = (rlen1 >= 32) & (rlen2 >= 32) & key_ok & hi_ok & lo_ok
@@ -95,4 +107,4 @@ def dup_keys_pe(seq1: jnp.ndarray, rlen1: jnp.ndarray,
     gc2 = jnp.sum(mask2 & ((seq2 == C) | (seq2 == G)), axis=1)
     tl = jnp.maximum(rlen1 + rlen2, 1).astype(jnp.float32)
     gc = jnp.floor(255.0 * (gc1 + gc2).astype(jnp.float32) / tl + 0.5).astype(jnp.uint8)
-    return DupKeys(key.astype(jnp.int32), hi, lo, gc, valid)
+    return DupKeys(key.astype(jnp.int32), hi, lo, gc, valid, key_hi)

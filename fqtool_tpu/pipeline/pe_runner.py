@@ -273,8 +273,10 @@ class PairEndRunner:
             d = out["dup"]
             valid = np.asarray(d.valid).copy()
             valid[n:] = False
-            self.dup.add_batch(np.asarray(d.key), np.asarray(d.kmer_hi),
-                               np.asarray(d.kmer_lo), np.asarray(d.gc), valid)
+            self.dup.add_batch(
+                np.asarray(d.key), np.asarray(d.kmer_hi),
+                np.asarray(d.kmer_lo), np.asarray(d.gc), valid,
+                key_hi=None if d.key_hi is None else np.asarray(d.key_hi))
 
         kchunk = keep[lo : lo + n]
         result1 = np.asarray(out["result1"])[:n]

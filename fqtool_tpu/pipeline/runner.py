@@ -348,8 +348,10 @@ class SingleEndRunner:
                 d = out.pop("dup")
                 valid = np.asarray(d.valid).copy()
                 valid[n:] = False
-                self.dup.add_batch(np.asarray(d.key), np.asarray(d.kmer_hi),
-                                   np.asarray(d.kmer_lo), np.asarray(d.gc), valid)
+                self.dup.add_batch(
+                    np.asarray(d.key), np.asarray(d.kmer_hi),
+                    np.asarray(d.kmer_lo), np.asarray(d.gc), valid,
+                    key_hi=None if d.key_hi is None else np.asarray(d.key_hi))
             for k, v in out.items():
                 merged.setdefault(k, []).append(np.asarray(v)[:n])
         return {k: (np.concatenate(v) if len(v) > 1 else v[0])
