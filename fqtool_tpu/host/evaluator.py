@@ -160,39 +160,172 @@ def evaluate_over_rep_seqs(opt: Options) -> None:
         opt.over_rep.over_rep_seq_count_r2 = compute_over_rep_seq(opt.in2)
 
 
+def _ors_threshold(n: int) -> int:
+    """Count threshold for a length-n substring (evaluator.cpp:151-161)."""
+    if n >= 151 - 1:
+        return 3
+    if n >= 100:
+        return 5
+    if n >= 40:
+        return 20
+    if n >= 20:
+        return 100
+    if n >= 10:
+        return 500
+    return 1 << 30
+
+
+def _inv_u64(p: int) -> int:
+    """Multiplicative inverse of an odd p modulo 2^64 (Newton iteration)."""
+    x = p
+    for _ in range(6):
+        x = (x * (2 - p * x)) % (1 << 64)
+    return x
+
+
+_ORS_PRIMES = (1099511628211, 6364136223846793005)  # FNV prime, PCG multiplier
+
+
+def _hash_ctx(flat: np.ndarray, primes=_ORS_PRIMES):
+    """Per-prime (weighted cumsum, inverse powers): one pass over the corpus,
+    after which window hashes of ANY length are O(windows)."""
+    n = len(flat)
+    ctx = []
+    with np.errstate(over="ignore"):
+        f = flat.astype(np.uint64)
+        for p in primes:
+            pows = np.empty(n, np.uint64)
+            pows[0] = 1
+            np.multiply.accumulate(np.full(n - 1, np.uint64(p)), out=pows[1:])
+            ipows = np.empty(n, np.uint64)
+            ipows[0] = 1
+            np.multiply.accumulate(
+                np.full(n - 1, np.uint64(_inv_u64(p))), out=ipows[1:])
+            ctx.append((np.cumsum(f * pows[::-1]), ipows))
+    return ctx
+
+
+def _window_hashes(ctx, n: int, step: int, k: int = 0) -> np.ndarray:
+    """Polynomial hashes mod 2^64 of every length-``step`` window
+    (position independent) from a precomputed :func:`_hash_ctx`."""
+    m = n - step + 1
+    csum, ipows = ctx[k]
+    with np.errstate(over="ignore"):
+        diff = csum[step - 1 :].copy()
+        diff[1:] -= csum[: m - 1]
+        return diff * ipows[n - step :: -1]
+
+
 def compute_over_rep_seq(filename: str) -> Dict[str, int]:
-    """reference: src/evaluator.cpp:120-189"""
+    """reference: src/evaluator.cpp:120-189.
+
+    The reference counts every substring of 5 step lengths into a std::map
+    (~7.5M map ops over the 1.5 Mb prefix).  Here window counting is
+    vectorized: 128-bit rolling hashes of all windows per step length,
+    np.unique for the counts, and exact substring extraction only for the
+    few hash groups above threshold.
+    """
     BASE_LIMIT = 151 * 10000
     steps = sorted({10, 20, 40, 100, min(150, 151 - 2)})
-    seq_counts: Dict[str, int] = defaultdict(int)
     bases = 0
+    seqs: List[bytes] = []
     for name, seq, strand, qual in iter_records(filename):
         if bases >= BASE_LIMIT:
             break
-        s = seq.decode("latin-1")
-        rlen = len(s)
-        bases += rlen
-        for step in steps:
-            for i in range(0, rlen - step):
-                seq_counts[s[i : i + step]] += 1
+        seqs.append(seq)
+        bases += len(seq)
+    if not seqs:
+        return {}
 
+    flat = np.frombuffer(b"".join(seqs), np.uint8)
+    n = len(flat)
+    lens = np.fromiter((len(s) for s in seqs), count=len(seqs), dtype=np.int64)
+    starts = np.zeros(len(seqs), np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    read_of_pos = np.repeat(np.arange(len(seqs)), lens)
+
+    ctx = _hash_ctx(flat)
     hot: Dict[str, int] = {}
-    for s, count in seq_counts.items():
-        n = len(s)
-        if ((n >= 151 - 1 and count >= 3) or (n >= 100 and count >= 5)
-                or (n >= 40 and count >= 20) or (n >= 20 and count >= 100)
-                or (n >= 10 and count >= 500)):
-            hot[s] = count
+    for step in steps:
+        if n < step + 1:
+            continue
+        m = n - step + 1
+        # window start i is countable iff i stays within its read:
+        # local index < rlen - step (evaluator.cpp: i < rlen - step)
+        rid = read_of_pos[:m]
+        valid = (np.arange(m) - starts[rid]) < (lens[rid] - step)
+        if not valid.any():
+            continue
+        h = np.empty((m, 2), np.uint64)
+        h[:, 0] = _window_hashes(ctx, n, step, 0)
+        h[:, 1] = _window_hashes(ctx, n, step, 1)
+        hv = np.ascontiguousarray(h[valid]).view("V16").reshape(-1)
+        vpos = np.flatnonzero(valid)
+        uniq, first_idx, counts = np.unique(
+            hv, return_index=True, return_counts=True)
+        thr = _ors_threshold(step)
+        for u in np.flatnonzero(counts >= thr):
+            p = int(vpos[first_idx[u]])
+            s = flat[p : p + step].tobytes().decode("latin-1")
+            hot[s] = int(counts[u])
 
-    # drop substrings of kept superstrings with similar counts
-    # (evaluator.cpp:166-188); iterate over a sorted snapshot for determinism
-    # (std::map iterates in lexicographic order)
-    removed = set()
+    return _filter_substrings(hot)
+
+
+def _filter_substrings(hot: Dict[str, int]) -> Dict[str, int]:
+    """Drop substrings of kept superstrings with similar counts
+    (evaluator.cpp:166-188).  The reference scans all pairs (quadratic in the
+    hot-set size -- minutes on repeat-heavy inputs); same outcome here via a
+    hashed containment index (candidates verified exactly), with the removal
+    pass walking the same lexicographic order the std::map iteration uses and
+    honoring prior erasures."""
+    if not hot:
+        return hot
     items = sorted(hot.items())
-    for s, count in items:
-        for s2, count2 in items:
-            if s != s2 and s2 not in removed and s in s2 and count // count2 < 10:
-                removed.add(s)
+    n_items = len(items)
+    strs = [s for s, _ in items]
+    slen = np.fromiter((len(s) for s in strs), count=n_items, dtype=np.int64)
+    flat = np.frombuffer("".join(strs).encode("latin-1"), np.uint8)
+    n = len(flat)
+    starts = np.zeros(n_items, np.int64)
+    np.cumsum(slen[:-1], out=starts[1:])
+    item_of_pos = np.repeat(np.arange(n_items), slen)
+    ctx = _hash_ctx(flat, _ORS_PRIMES[:1])
+
+    cand: Dict[int, np.ndarray] = {}
+    for step in sorted({len(s) for s in strs}):
+        m = n - step + 1
+        if m <= 0:
+            break
+        short_idx = np.flatnonzero(slen == step)
+        h = _window_hashes(ctx, n, step, 0)
+        # windows fully inside a STRICTLY longer hot string
+        rid = item_of_pos[:m]
+        local = np.arange(m) - starts[rid]
+        valid = (local <= slen[rid] - step) & (slen[rid] > step)
+        if not valid.any() or len(short_idx) == 0:
+            continue
+        wh = h[valid]
+        witem = rid[valid]
+        order = np.argsort(wh, kind="stable")
+        wh = wh[order]
+        witem = witem[order]
+        sh = h[starts[short_idx]]  # hash of each short string itself
+        lo = np.searchsorted(wh, sh, side="left")
+        hi = np.searchsorted(wh, sh, side="right")
+        for k, si in enumerate(short_idx):
+            if hi[k] > lo[k]:
+                cand[int(si)] = witem[lo[k] : hi[k]]
+
+    removed_flags = np.zeros(n_items, bool)
+    removed = []
+    for i, (s, count) in enumerate(items):
+        for idx in cand.get(i, ()):
+            s2, count2 = items[int(idx)]
+            # hash candidates are verified exactly (s in s2) before acting
+            if not removed_flags[idx] and count // count2 < 10 and s in s2:
+                removed_flags[i] = True
+                removed.append(s)
                 break
     for s in removed:
         del hot[s]

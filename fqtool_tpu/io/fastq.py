@@ -51,6 +51,9 @@ class ReadPack:
     qual: np.ndarray         # uint8 [B, L]
     lens: np.ndarray         # int32 [B]
     _names: Optional[List[bytes]] = field(default=None, repr=False)
+    # replacement name buffer (UMI tagging rewrites names wholesale);
+    # name_off/name_len then index into it instead of ``buf``
+    _name_buf: Optional[bytes] = field(default=None, repr=False)
 
     @property
     def count(self) -> int:
@@ -62,19 +65,32 @@ class ReadPack:
 
     # -- names ---------------------------------------------------------
     @property
+    def _nbuf(self) -> bytes:
+        return self.buf if self._name_buf is None else self._name_buf
+
+    @property
     def names(self) -> List[bytes]:
         """Materialized (mutable) name list; mutations are honored by
         ``name_arrays`` via a rebuild."""
         if self._names is None:
+            nbuf = self._nbuf
             self._names = [
-                self.buf[self.name_off[i]: self.name_off[i] + self.name_len[i]]
+                nbuf[self.name_off[i]: self.name_off[i] + self.name_len[i]]
                 for i in range(self.count)]
         return self._names
 
     def name(self, i: int) -> bytes:
         if self._names is not None:
             return self._names[i]
-        return self.buf[self.name_off[i]: self.name_off[i] + self.name_len[i]]
+        nbuf = self._nbuf
+        return nbuf[self.name_off[i]: self.name_off[i] + self.name_len[i]]
+
+    def set_name_arrays(self, buf: bytes, off: np.ndarray, lens: np.ndarray) -> None:
+        """Replace every name wholesale (vectorized UMI tagging)."""
+        self._name_buf = buf
+        self.name_off = off.astype(np.int64)
+        self.name_len = lens.astype(np.int32)
+        self._names = None
 
     def strand(self, i: int) -> bytes:
         return self.buf[self.strand_off[i]: self.strand_off[i] + self.strand_len[i]]
@@ -87,7 +103,7 @@ class ReadPack:
         """(buf, offsets, lengths) for native formatting, reflecting any
         mutation made through ``names``."""
         if self._names is None:
-            return self.buf, self.name_off, self.name_len
+            return self._nbuf, self.name_off, self.name_len
         lens = np.fromiter((len(n) for n in self._names),
                            count=self.count, dtype=np.int32)
         off = np.zeros(self.count, np.int64)

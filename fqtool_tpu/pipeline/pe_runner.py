@@ -21,14 +21,15 @@ from ..host.duplicate import DuplicateTable
 from ..host.filterresult import FilterResultAccumulator
 from ..host.stats import StatsAccumulator
 from ..host.tracing import stage
-from ..host.umi import first_index, process_umi
+from ..host.umi import process_umi
 from ..io.fastq import (AsyncWriter, ReadPack, format_record,
                         iter_packs_paired, prefetch_iter)
 from ..ops.filters import FAILED_TYPES, PASS_FILTER
 from ..io.fastq import format_array_records
 from .pe import pe_pipeline_call
 from .runner import (SplitWriter, _TAG_BUF, _TAG_LEN, _TAG_OFF, chunk_rows,
-                     index_match, loginfo, maybe_enable_sharding, pad_rows)
+                     index_filter_matches, loginfo, maybe_enable_sharding,
+                     pad_rows)
 
 # extended tag catalog: the fail-reason names plus the PE mate-fail tag
 _XTAG_BUF = _TAG_BUF + b"paired_read_is_failing"
@@ -188,12 +189,8 @@ class PairEndRunner:
         B = pack1.count
         keep = np.ones(B, bool)
         if opt.index_filter.enabled:
-            for i in range(B):
-                if (index_match(opt.index_filter.blacklist1,
-                                first_index(pack1.name(i)), opt.index_filter.threshold)
-                        or index_match(opt.index_filter.blacklist2,
-                                       first_index(pack2.name(i)), opt.index_filter.threshold)):
-                    keep[i] = False
+            keep = ~(index_filter_matches(opt, pack1, opt.index_filter.blacklist1)
+                     | index_filter_matches(opt, pack2, opt.index_filter.blacklist2))
         start1, start2 = process_umi(opt, pack1, pack2)
 
         parts: dict = {k: [] for k in
@@ -384,16 +381,16 @@ class PairEndRunner:
                         a, _ = content(i, basex[i] + p, int(lb[i]) - p)
                     self.filter_result.add_adapter_trimmed(a, is_r2=(side == 2))
 
-        # ORA pre sampling ---------------------------------------------
+        # ORA pre sampling: every sampling-th pair in stream order; only the
+        # selected rows touch Python (peprocessor.cpp:272-274)
         if opt.over_rep.enabled:
             sampling = opt.over_rep.sampling
-            for i in range(n):
-                if self._pre_counter % sampling == 0:
-                    self.pre1.add_over_rep_read(
-                        pack1.seq[lo + i, : pack1.lens[lo + i]].tobytes())
-                    self.pre2.add_over_rep_read(
-                        pack2.seq[lo + i, : pack2.lens[lo + i]].tobytes())
-                self._pre_counter += 1
+            for i in range(-self._pre_counter % sampling, n, sampling):
+                self.pre1.add_over_rep_read(
+                    pack1.seq[lo + i, : pack1.lens[lo + i]].tobytes())
+                self.pre2.add_over_rep_read(
+                    pack2.seq[lo + i, : pack2.lens[lo + i]].tobytes())
+            self._pre_counter += n
 
         # routing ------------------------------------------------------
         merge_on = opt.merge_pe.enabled
@@ -422,148 +419,57 @@ class PairEndRunner:
                 front1, front2, parts, has_unpaired1,
                 want_failed, sampling), 0
 
-        if not sampling:
-            # vectorized merge routing: merged/unmerged records in pair order
-            # via a 3-rows-per-pair interleave; non-processed pairs (a NULL
-            # side, or unmergeable under --discard_unmerged) fall through to
-            # the standard routing (peprocessor.cpp:350-428)
-            m_proc = both & (mergeable | (not discard_unmerged))
-            pass1v = ~dropped1 & (result1 == PASS_FILTER)
-            pass2v = ~dropped2 & (result2 == PASS_FILTER)
-            m_sel = both & mergeable & kchunk
-            fr.add_filter_results(resultM[m_sel], n_each=2)
-            m_written = m_sel & (resultM == PASS_FILTER)
-            m_unm = both & ~mergeable & (not discard_unmerged) & kchunk
-            fr.add_filter_results(result1[m_unm], n_each=1)
-            fr.add_filter_results(result2[m_unm], n_each=1)
-            merged_count = int(m_written.sum())
-            read_passed = merged_count + int((m_unm & pass1v & pass2v).sum())
-            self._post1_counter += merged_count + int((m_unm & pass1v).sum())
-            self._post2_counter += int((m_unm & pass2v).sum())
+        # vectorized merge routing: merged/unmerged records in pair order
+        # via a 3-rows-per-pair interleave; non-processed pairs (a NULL
+        # side, or unmergeable under --discard_unmerged) fall through to
+        # the standard routing (peprocessor.cpp:350-428)
+        m_proc = both & (mergeable | (not discard_unmerged))
+        pass1v = ~dropped1 & (result1 == PASS_FILTER)
+        pass2v = ~dropped2 & (result2 == PASS_FILTER)
+        m_sel = both & mergeable & kchunk
+        fr.add_filter_results(resultM[m_sel], n_each=2)
+        m_written = m_sel & (resultM == PASS_FILTER)
+        m_unm = both & ~mergeable & (not discard_unmerged) & kchunk
+        fr.add_filter_results(result1[m_unm], n_each=1)
+        fr.add_filter_results(result2[m_unm], n_each=1)
+        merged_count = int(m_written.sum())
+        read_passed = merged_count + int((m_unm & pass1v & pass2v).sum())
 
-            if m_written.any() or (m_unm & (pass1v | pass2v)).any():
-                parts["merged"].append(self._format_merged_interleaved(
-                    pack1, pack2, lo, n, m_written, m_unm & pass1v,
-                    m_unm & pass2v, m_seq, m_qual, m_rlen, m_len1, m_len2,
-                    mats, front1, front2, rlen1, rlen2))
-
-            np_mask = kchunk & ~m_proc
-            rp2 = self._route_vectorized(
-                mats, pack1, pack2, lo, n, np_mask, start1, start2,
-                result1, result2, rlen1, rlen2, dropped1, dropped2,
-                front1, front2, parts, has_unpaired1,
-                want_failed, 0)
-            return read_passed + rp2, merged_count
-
-        # The reference trims (and corrects) reads IN PLACE, so or1/or2 in the
-        # failed stream carry the final trimmed content -- unless trimAndCut
-        # dropped the read before mutating it (filter.cpp:75-98,186-188).
-        def failed_rec1(i, tag):
-            if dropped1[i]:
-                return self._orig_record(pack1, lo + i, start1, tag)
-            s, q = content1(i, base1[i], int(rlen1[i]))
-            return format_record(pack1.name(lo + i), s, pack1.strand(lo + i), q, tag=tag)
-
-        def failed_rec2(i, tag):
-            if dropped2[i]:
-                return self._orig_record(pack2, lo + i, start2, tag)
-            s, q = content2(i, base2[i], int(rlen2[i]))
-            return format_record(pack2.name(lo + i), s, pack2.strand(lo + i), q, tag=tag)
-        for i in range(n):
-            if not kchunk[i]:
-                continue
-            r1_null = dropped1[i]
-            r2_null = dropped2[i]
-            pass1 = (not r1_null) and result1[i] == PASS_FILTER
-            pass2 = (not r2_null) and result2[i] == PASS_FILTER
-            merge_processed = False
-            if merge_on and not r1_null and not r2_null:
-                if mergeable[i]:
-                    fr.add_filter_result(int(resultM[i]), 2)
-                    if resultM[i] == PASS_FILTER:
-                        name = _merged_name(pack1.name(lo + i),
-                                            int(m_len1[i]), int(m_len2[i]))
-                        mseq_b = m_seq[i, : m_rlen[i]].tobytes()
-                        parts["merged"].append(format_record(
-                            name, mseq_b,
-                            pack1.strand(lo + i), m_qual[i, : m_rlen[i]].tobytes()))
-                        read_passed += 1
-                        merged_count += 1
-                        if sampling and self._post1_counter % sampling == 0:
-                            self.post1.add_over_rep_read(mseq_b)
-                        self._post1_counter += 1
-                    merge_processed = True
-                elif not discard_unmerged:
-                    fr.add_filter_result(int(result1[i]), 1)
-                    if pass1:
-                        s, q = content1(i, base1[i], int(rlen1[i]))
-                        parts["merged"].append(format_record(
-                            pack1.name(lo + i), s, pack1.strand(lo + i), q))
-                        if sampling and self._post1_counter % sampling == 0:
-                            self.post1.add_over_rep_read(s)
-                        self._post1_counter += 1
-                    fr.add_filter_result(int(result2[i]), 1)
-                    if pass2:
-                        s, q = content2(i, base2[i], int(rlen2[i]))
-                        parts["merged"].append(format_record(
-                            pack2.name(lo + i), s, pack2.strand(lo + i), q))
-                        if sampling and self._post2_counter % sampling == 0:
-                            self.post2.add_over_rep_read(s)
-                        self._post2_counter += 1
-                    if pass1 and pass2:
-                        read_passed += 1
-                    merge_processed = True
-
-            if merge_processed:
-                continue
-            fr.add_filter_result(max(int(result1[i]), int(result2[i])), 2)
-            if pass1 and pass2:
-                s1b, q1b = content1(i, base1[i], int(rlen1[i]))
-                s2b, q2b = content2(i, base2[i], int(rlen2[i]))
-                parts["out1"].append(format_record(
-                    pack1.name(lo + i), s1b, pack1.strand(lo + i), q1b))
-                parts["out2"].append(format_record(
-                    pack2.name(lo + i), s2b, pack2.strand(lo + i), q2b))
-                read_passed += 1
-                if not merge_on and sampling:
-                    if self._post1_counter % sampling == 0:
-                        self.post1.add_over_rep_read(s1b)
-                    self._post1_counter += 1
-                    if self._post2_counter % sampling == 0:
-                        self.post2.add_over_rep_read(s2b)
-                    self._post2_counter += 1
-            elif pass1:
-                if has_unpaired1:
-                    s, q = content1(i, base1[i], int(rlen1[i]))
-                    parts["unpaired1"].append(format_record(
-                        pack1.name(lo + i), s, pack1.strand(lo + i), q))
-                    if want_failed:
-                        parts["failed"].append(failed_rec2(
-                            i, FAILED_TYPES[int(result2[i])].encode()))
+        # ORA post sampling over the merged stream in emit order: merged
+        # reads and unmerged-kept r1 advance the post1 counter, unmerged-kept
+        # r2 the post2 counter (peprocessor.cpp:361-379)
+        idx1 = np.flatnonzero(m_written | (m_unm & pass1v))
+        idx2 = np.flatnonzero(m_unm & pass2v)
+        if sampling:
+            for k in range(-self._post1_counter % sampling, len(idx1), sampling):
+                i = int(idx1[k])
+                if m_written[i]:
+                    self.post1.add_over_rep_read(m_seq[i, : m_rlen[i]].tobytes())
                 else:
-                    if want_failed:
-                        parts["failed"].append(failed_rec1(
-                            i, b"paired_read_is_failing"))
-                        parts["failed"].append(failed_rec2(
-                            i, FAILED_TYPES[int(result2[i])].encode()))
-            elif pass2:
-                if has_unpaired1:
-                    # reference checks the LEFT unpaired writer here
-                    # (peprocessor.cpp:417) and tags or1 with result2
-                    # (peprocessor.cpp:420)
-                    s, q = content2(i, base2[i], int(rlen2[i]))
-                    parts["unpaired2"].append(format_record(
-                        pack2.name(lo + i), s, pack2.strand(lo + i), q))
-                    if want_failed:
-                        parts["failed"].append(failed_rec1(
-                            i, FAILED_TYPES[int(result2[i])].encode()))
-                else:
-                    if want_failed:
-                        parts["failed"].append(failed_rec1(
-                            i, FAILED_TYPES[int(result1[i])].encode()))
-                        parts["failed"].append(failed_rec2(
-                            i, b"paired_read_is_failing"))
-        return read_passed, merged_count
+                    self.post1.add_over_rep_read(
+                        content1(i, base1[i], int(rlen1[i]))[0])
+            for k in range(-self._post2_counter % sampling, len(idx2), sampling):
+                i = int(idx2[k])
+                self.post2.add_over_rep_read(
+                    content2(i, base2[i], int(rlen2[i]))[0])
+        self._post1_counter += len(idx1)
+        self._post2_counter += len(idx2)
+
+        if m_written.any() or (m_unm & (pass1v | pass2v)).any():
+            parts["merged"].append(self._format_merged_interleaved(
+                pack1, pack2, lo, n, m_written, m_unm & pass1v,
+                m_unm & pass2v, m_seq, m_qual, m_rlen, m_len1, m_len2,
+                mats, front1, front2, rlen1, rlen2))
+
+        # in merge mode the fallthrough pairs never advance the post
+        # counters (peprocessor.cpp:387-400 guard), hence sampling=0
+        np_mask = kchunk & ~m_proc
+        rp2 = self._route_vectorized(
+            mats, pack1, pack2, lo, n, np_mask, start1, start2,
+            result1, result2, rlen1, rlen2, dropped1, dropped2,
+            front1, front2, parts, has_unpaired1,
+            want_failed, 0)
+        return read_passed + rp2, merged_count
 
     def _route_vectorized(self, mats, pack1, pack2, lo, n, kc, start1, start2,
                           result1, result2, rlen1, rlen2, dropped1, dropped2,
@@ -600,15 +506,17 @@ class PairEndRunner:
                 bothpass, nb2, no2c, nl2c, sb2, so2c, sl2c,
                 mat2s, mat2q, s2, rlen2))
             if sampling:
-                for i in np.flatnonzero(bothpass):
-                    if self._post1_counter % sampling == 0:
-                        self.post1.add_over_rep_read(
-                            mat1s[i, s1[i] : s1[i] + rlen1[i]].tobytes())
-                    self._post1_counter += 1
-                    if self._post2_counter % sampling == 0:
-                        self.post2.add_over_rep_read(
-                            mat2s[i, s2[i] : s2[i] + rlen2[i]].tobytes())
-                    self._post2_counter += 1
+                idx = np.flatnonzero(bothpass)
+                for k in range(-self._post1_counter % sampling, len(idx), sampling):
+                    i = idx[k]
+                    self.post1.add_over_rep_read(
+                        mat1s[i, s1[i] : s1[i] + rlen1[i]].tobytes())
+                for k in range(-self._post2_counter % sampling, len(idx), sampling):
+                    i = idx[k]
+                    self.post2.add_over_rep_read(
+                        mat2s[i, s2[i] : s2[i] + rlen2[i]].tobytes())
+                self._post1_counter += len(idx)
+                self._post2_counter += len(idx)
 
         if has_unpaired1:
             if only1.any():

@@ -25,7 +25,7 @@ from ..host.duplicate import DuplicateTable
 from ..host.filterresult import FilterResultAccumulator
 from ..host.stats import StatsAccumulator
 from ..host.tracing import device_profile, stage
-from ..host.umi import first_index, process_umi
+from ..host.umi import process_umi
 from ..io.fastq import (AsyncWriter, OutputWriter, ReadPack, format_selected,
                         iter_packs, prefetch_iter)
 from ..ops.filters import FAILED_TYPES
@@ -97,6 +97,18 @@ def maybe_enable_sharding(*blob_calls) -> None:
     for call in blob_calls:
         call.set_mesh(mesh)
     loginfo(f"data-parallel over {len(devices)} devices")
+
+
+def index_filter_matches(opt, pack, blacklist) -> np.ndarray:
+    """Vectorized per-read blacklist match of firstIndex()
+    (reference: src/filter.cpp:213-232)."""
+    from ..host.names import (first_index_batch, index_match_batch,
+                              name_matrix)
+
+    nb, no, nl = pack.name_arrays()
+    mat = name_matrix(nb, no, nl)
+    s, t = first_index_batch(mat, nl)
+    return index_match_batch(blacklist, mat, s, t, opt.index_filter.threshold)
 
 
 def index_match(blacklist: List[str], target: bytes, threshold: int) -> bool:
@@ -292,10 +304,7 @@ class SingleEndRunner:
         B = pack.count
         keep = np.ones(B, bool)
         if opt.index_filter.enabled:
-            for i in range(B):
-                if index_match(opt.index_filter.blacklist1, first_index(pack.name(i)),
-                               opt.index_filter.threshold):
-                    keep[i] = False
+            keep = ~index_filter_matches(opt, pack, opt.index_filter.blacklist1)
         start0, _ = process_umi(opt, pack)
 
         with stage("dispatch"):
@@ -402,14 +411,14 @@ class SingleEndRunner:
                     adapter = pack.seq[i, s + p : s + int(before[i])].tobytes()
                 self.filter_result.add_adapter_trimmed(adapter, is_r2=False)
 
-        # ORA sampling --------------------------------------------------
+        # ORA sampling: every sampling-th read in stream order
+        # (stats.cpp:246-248); only the selected rows touch Python
         if opt.over_rep.enabled:
             sampling = opt.over_rep.sampling
-            for i in range(B):
-                if self._pre_counter % sampling == 0:
-                    self.pre_stats.add_over_rep_read(
-                        pack.seq[i, : pack.lens[i]].tobytes())
-                self._pre_counter += 1
+            for i in range(-self._pre_counter % sampling, B, sampling):
+                self.pre_stats.add_over_rep_read(
+                    pack.seq[i, : pack.lens[i]].tobytes())
+            self._pre_counter += B
 
         # output strings ------------------------------------------------
         select_pass = passed & keep
@@ -418,11 +427,12 @@ class SingleEndRunner:
 
         if opt.over_rep.enabled:
             sampling = opt.over_rep.sampling
-            for i in np.flatnonzero(select_pass):
-                if self._post_counter % sampling == 0:
-                    s, n = int(front[i]), int(rlen[i])
-                    self.post_stats.add_over_rep_read(pack.seq[i, s : s + n].tobytes())
-                self._post_counter += 1
+            passing = np.flatnonzero(select_pass)
+            for k in range(-self._post_counter % sampling, len(passing), sampling):
+                i = passing[k]
+                s, n = int(front[i]), int(rlen[i])
+                self.post_stats.add_over_rep_read(pack.seq[i, s : s + n].tobytes())
+            self._post_counter += len(passing)
 
         failedstr = b""
         if opt.failed_out:
