@@ -1,0 +1,256 @@
+"""Multi-host data parallelism.
+
+The reference's only scaling axis is the read axis (N worker pthreads over
+read packs, reference: src/seprocessor.cpp:59-180); the multi-host equivalent
+shards the *pack stream* across host processes:
+
+* ``jax.distributed.initialize()`` forms the process group (SURVEY.md §5) so
+  each host sees its local TPU devices plus the global topology; per-pack
+  device compute stays on the local mesh (ICI), and the only cross-host
+  traffic is the end-of-stream statistics reduction (DCN-scale payloads:
+  histograms and sparse duplication entries, a few MB at most).
+* Pack ``k`` is owned by rank ``k mod world``.  Every rank advances the input
+  stream (gzip cannot be random-accessed) but only tokenizes boundaries for
+  packs it does not own (``PackReader.next_pack(skip=True)``) -- no matrix
+  builds, no device work.
+* Each output stream is written as one per-host part file of pack-ordered
+  raw records plus a (pack index, length) manifest.  Rank 0 concatenates all
+  hosts' parts in global pack order through a single compressed writer, so
+  the final bytes equal the single-process run exactly (replacing the
+  reference's mutex-serialized output ordering, seprocessor.cpp:356-380).
+* Stats / FilterResult / duplication / insert-size accumulators are reduced
+  to rank 0 over a TCP allgather (the duplication combine is associative:
+  min-kmer wins, equal kmers add counts, earliest ``first_pos`` keeps the
+  first-record GC -- see host/duplicate.py).
+
+Activation: set ``FQTOOL_TPU_COORDINATOR=host:port``, ``FQTOOL_TPU_NPROCS``
+and ``FQTOOL_TPU_PROC_ID``.  The stat-reduction socket uses port+1 (override
+with ``FQTOOL_TPU_REDUCE_PORT``).  ``FQTOOL_TPU_NO_JAX_DIST=1`` skips
+``jax.distributed.initialize`` (the TCP layer carries all correctness-
+relevant traffic; jax init is what wires up multi-host TPU meshes).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import socket
+import struct
+import sys
+import time
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..io.fastq import OutputWriter, PackReader, _truncate_pack, iter_packs_paired
+
+_ctx: Optional["MultihostContext"] = None
+_inited = False
+
+
+def active() -> Optional["MultihostContext"]:
+    """The process's multihost context (constructed once from env), or None
+    for single-process runs."""
+    global _ctx, _inited
+    if not _inited:
+        _inited = True
+        coord = os.environ.get("FQTOOL_TPU_COORDINATOR")
+        world = int(os.environ.get("FQTOOL_TPU_NPROCS", "0") or 0)
+        if coord and world > 1:
+            rank = int(os.environ["FQTOOL_TPU_PROC_ID"])
+            _ctx = MultihostContext(coord, world, rank)
+    return _ctx
+
+
+def _send(sock: socket.socket, obj) -> None:
+    data = pickle.dumps(obj, protocol=4)
+    sock.sendall(struct.pack("<Q", len(data)))
+    sock.sendall(data)
+
+
+def _recvn(sock: socket.socket, n: int) -> bytes:
+    parts = []
+    while n:
+        b = sock.recv(min(n, 1 << 20))
+        if not b:
+            raise ConnectionError("multihost peer closed the connection")
+        parts.append(b)
+        n -= len(b)
+    return b"".join(parts)
+
+
+def _recv(sock: socket.socket):
+    (n,) = struct.unpack("<Q", _recvn(sock, 8))
+    return pickle.loads(_recvn(sock, n))
+
+
+class MultihostContext:
+    def __init__(self, coordinator: str, world: int, rank: int):
+        host, port = coordinator.rsplit(":", 1)
+        self.world = world
+        self.rank = rank
+        self.host = host
+        self.jax_port = int(port)
+        self.reduce_port = int(os.environ.get("FQTOOL_TPU_REDUCE_PORT",
+                                              self.jax_port + 1))
+        self._conns: dict = {}
+        self._sock: Optional[socket.socket] = None
+        listener = None
+        if rank == 0:
+            listener = socket.create_server(("", self.reduce_port),
+                                            backlog=world)
+        self._init_jax(coordinator)
+        self._connect(listener)
+
+    def _init_jax(self, coordinator: str) -> None:
+        if os.environ.get("FQTOOL_TPU_NO_JAX_DIST") == "1":
+            return
+        import jax
+        timeout = int(os.environ.get("FQTOOL_TPU_JAX_DIST_TIMEOUT", "120"))
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator, num_processes=self.world,
+                process_id=self.rank, initialization_timeout=timeout)
+        except Exception as e:  # pragma: no cover - env-dependent
+            sys.stderr.write(
+                f"warning: jax.distributed.initialize failed ({e}); "
+                "continuing with host-side reductions only\n")
+
+    def _connect(self, listener) -> None:
+        if self.rank == 0:
+            with listener:
+                while len(self._conns) < self.world - 1:
+                    conn, _ = listener.accept()
+                    conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                    r = _recv(conn)
+                    self._conns[r] = conn
+            return
+        deadline = time.monotonic() + 120
+        while True:
+            try:
+                self._sock = socket.create_connection(
+                    (self.host, self.reduce_port), timeout=10)
+                break
+            except OSError:
+                if time.monotonic() > deadline:
+                    raise
+                time.sleep(0.2)
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        _send(self._sock, self.rank)
+
+    # -- collectives ---------------------------------------------------
+    def gather(self, obj) -> Optional[list]:
+        """All ranks send; rank 0 returns the rank-ordered list, others None."""
+        if self.rank == 0:
+            out = [None] * self.world
+            out[0] = obj
+            for r, conn in self._conns.items():
+                out[r] = _recv(conn)
+            return out
+        _send(self._sock, obj)
+        return None
+
+    def broadcast(self, obj=None):
+        if self.rank == 0:
+            for conn in self._conns.values():
+                _send(conn, obj)
+            return obj
+        return _recv(self._sock)
+
+    def barrier(self) -> None:
+        self.gather(None)
+        self.broadcast(None)
+
+    # -- pack ownership ------------------------------------------------
+    def owns(self, pack_idx: int) -> bool:
+        return pack_idx % self.world == self.rank
+
+    def iter_owned_se(self, path: str, pack_reads: int,
+                      phred64: bool) -> Iterator[Tuple[int, object]]:
+        rd = PackReader(path, pack_reads, phred64)
+        gidx = 0
+        while True:
+            pack = rd.next_pack(skip=not self.owns(gidx))
+            if pack is None:
+                return
+            if self.owns(gidx):
+                yield gidx, pack
+            gidx += 1
+
+    def iter_owned_pe(self, path1: str, path2: str, interleaved: bool,
+                      pack_reads: int, phred64: bool):
+        if interleaved:
+            it = iter_packs_paired(path1, path2, True, pack_reads, phred64)
+            for gidx, (p1, p2) in enumerate(it):
+                if self.owns(gidx):
+                    yield gidx, p1, p2
+            return
+        rd1 = PackReader(path1, pack_reads, phred64)
+        rd2 = PackReader(path2, pack_reads, phred64)
+        gidx = 0
+        while True:
+            own = self.owns(gidx)
+            p1 = rd1.next_pack(skip=not own)
+            p2 = rd2.next_pack(skip=not own)
+            if p1 is None or p2 is None:
+                return
+            n = min(p1.count, p2.count)
+            if n == 0:
+                return
+            mismatch = p1.count != p2.count
+            if own:
+                if mismatch:
+                    yield gidx, _truncate_pack(p1, n), _truncate_pack(p2, n)
+                    return  # shorter stream exhausted (fqreader.cpp:254-267)
+                yield gidx, p1, p2
+            elif mismatch:
+                return
+            gidx += 1
+
+    # -- output parts ----------------------------------------------------
+    def part_writer(self, final_path: str) -> "PartStreamWriter":
+        return PartStreamWriter(final_path, self.rank)
+
+    def merge_stream(self, final_path: str, compression: int,
+                     indexes_by_rank: List[List[Tuple[int, int]]]) -> None:
+        """Rank 0: concatenate all hosts' part files in global pack order
+        through one compressed writer -- final bytes identical to the
+        single-process run."""
+        paths = [_part_path(final_path, r) for r in range(self.world)]
+        handles = [open(p, "rb") if os.path.exists(p) else None for p in paths]
+        entries = sorted(
+            (pidx, r, ln)
+            for r, idx in enumerate(indexes_by_rank) for pidx, ln in idx)
+        with OutputWriter(final_path, compression) as w:
+            for _pidx, r, ln in entries:
+                w.write(handles[r].read(ln))
+        for h, p in zip(handles, paths):
+            if h is not None:
+                h.close()
+            if os.path.exists(p):
+                os.unlink(p)
+
+
+def _part_path(final_path: str, rank: int) -> str:
+    return f"{final_path}.mh{rank}.part"
+
+
+class PartStreamWriter:
+    """Per-host part file for one output stream: pack-ordered raw records
+    plus a (pack index, length) manifest used by the rank-0 merge."""
+
+    def __init__(self, final_path: str, rank: int):
+        self.final_path = final_path
+        self.part_path = _part_path(final_path, rank)
+        d = os.path.dirname(os.path.abspath(self.part_path))
+        os.makedirs(d, exist_ok=True)
+        self._fh = open(self.part_path, "wb", buffering=1 << 20)
+        self.index: List[Tuple[int, int]] = []
+
+    def write(self, pack_idx: int, data: bytes) -> None:
+        if data:
+            self._fh.write(data)
+            self.index.append((pack_idx, len(data)))
+
+    def close(self) -> None:
+        self._fh.close()

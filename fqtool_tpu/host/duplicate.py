@@ -40,6 +40,11 @@ class DuplicateTable:
         self.first_kmer = np.zeros(n, np.uint64)
         self.first_gc = np.zeros(n, np.uint8)
         self.seen = np.zeros(n, bool)
+        # global stream position of each key's first record: lets tables from
+        # different hosts (each holding a strided subset of the stream) merge
+        # with the exact first-record-GC rule
+        self.first_pos = np.full(n, np.iinfo(np.int64).max, np.int64)
+        self._next_pos = 0
 
     def _grow(self, need: int) -> None:
         cap = len(self.counts)
@@ -57,6 +62,7 @@ class DuplicateTable:
         self.first_kmer = grow(self.first_kmer)
         self.first_gc = grow(self.first_gc)
         self.seen = grow(self.seen)
+        self.first_pos = grow(self.first_pos, np.iinfo(np.int64).max)
 
     def _to_slots(self, key: np.ndarray) -> np.ndarray:
         """Map raw keys to dense slot indices (sparse mode), preserving order."""
@@ -74,12 +80,17 @@ class DuplicateTable:
 
     def add_batch(self, key: np.ndarray, kmer_hi: np.ndarray, kmer_lo: np.ndarray,
                   gc: np.ndarray, valid: np.ndarray,
-                  key_hi: np.ndarray = None) -> None:
+                  key_hi: np.ndarray = None, base: int = None) -> None:
         """Fold one batch of per-read records (input order preserved for the
         first-record rule).  ``key_hi`` carries key bits past 32 (keylen > 16,
-        sparse mode only)."""
+        sparse mode only).  ``base`` is the global stream index of row 0 (for
+        cross-host merges); defaults to a local monotonic counter."""
+        if base is None:
+            base = self._next_pos
+        self._next_pos = max(self._next_pos, base + len(valid))
         if not valid.any():
             return
+        pos = base + np.flatnonzero(valid)
         # device keys ride as int32 bit patterns; reinterpret as unsigned so
         # keylen = 16 (keys past 2^31) still indexes correctly
         key = key[valid].view(np.uint32).astype(np.int64)
@@ -97,6 +108,7 @@ class DuplicateTable:
         new_keys = uniq[newly]
         self.first_kmer[new_keys] = kmer[first_idx[newly]]
         self.first_gc[new_keys] = gc[first_idx[newly]]
+        self.first_pos[new_keys] = pos[first_idx[newly]]
         self.seen[new_keys] = True
 
         # batch minimum per key, then merge with the running minimum
@@ -111,6 +123,50 @@ class DuplicateTable:
         # count batch records equal to the (possibly new) minimum
         eq_min = kmer == self.min_kmer[key]
         np.add.at(self.counts, key[eq_min], 1)
+
+    # -- cross-host reduction ------------------------------------------
+    def payload(self) -> dict:
+        """Sparse snapshot of live entries for cross-host transfer: raw keys
+        plus the per-key combine state."""
+        if self.sparse:
+            nslots = len(self._slots)
+            raw = np.fromiter(self._slots.keys(), np.int64, nslots)
+            slot = np.fromiter(self._slots.values(), np.int64, nslots)
+            sel = self.seen[slot]
+            raw, slot = raw[sel], slot[sel]
+        else:
+            slot = np.flatnonzero(self.seen)
+            raw = slot
+        return dict(key=raw.astype(np.int64),
+                    min_kmer=self.min_kmer[slot],
+                    counts=self.counts[slot],
+                    first_kmer=self.first_kmer[slot],
+                    first_gc=self.first_gc[slot],
+                    first_pos=self.first_pos[slot])
+
+    def merge_payload(self, pl: dict) -> None:
+        """Combine another table's snapshot.  Per key the sequential outcome
+        is (min kmer, #records equal to the min, first record's state), all
+        order-independent given ``first_pos``, so the merge is associative."""
+        key = pl["key"]
+        if len(key) == 0:
+            return
+        slot = self._to_slots(key) if self.sparse else key
+        o_min = pl["min_kmer"]
+        o_cnt = pl["counts"]
+        s_min = self.min_kmer[slot]
+        s_cnt = self.counts[slot]
+        self.counts[slot] = np.where(
+            s_min == o_min, s_cnt + o_cnt,
+            np.where(o_min < s_min, o_cnt, s_cnt))
+        self.min_kmer[slot] = np.minimum(s_min, o_min)
+        other_first = ~self.seen[slot] | (pl["first_pos"] < self.first_pos[slot])
+        for mine, theirs in ((self.first_kmer, pl["first_kmer"]),
+                             (self.first_gc, pl["first_gc"]),
+                             (self.first_pos, pl["first_pos"])):
+            cur = mine[slot]
+            mine[slot] = np.where(other_first, theirs, cur)
+        self.seen[slot] = True
 
     def stat_all(self) -> Tuple[np.ndarray, np.ndarray, float]:
         """Histogram of duplication levels + mean GC per level + overall rate

@@ -82,6 +82,20 @@ class FilterResultAccumulator:
     def add_merged_pairs(self, n: int) -> None:
         self.merged_pairs += n
 
+    def merge(self, other: "FilterResultAccumulator") -> None:
+        """Fold another accumulator in (cross-host reduction; mirrors
+        FilterResult::merge, reference: src/filterresult.cpp:52-102)."""
+        self.filter_read_stats += other.filter_read_stats
+        self.trimmed_adapter_reads += other.trimmed_adapter_reads
+        self.trimmed_adapter_bases += other.trimmed_adapter_bases
+        self.adapter1_count += other.adapter1_count
+        self.adapter2_count += other.adapter2_count
+        self.trimmed_polyx_reads += other.trimmed_polyx_reads
+        self.trimmed_polyx_bases += other.trimmed_polyx_bases
+        self.correction_matrix += other.correction_matrix
+        self.corrected_reads += other.corrected_reads
+        self.merged_pairs += other.merged_pairs
+
     # ------------------------------------------------------------------
     @property
     def total_corrected_bases(self) -> int:

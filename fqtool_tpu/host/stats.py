@@ -99,6 +99,27 @@ class StatsAccumulator:
                     j += step  # stats.cpp:288 (then loop ++j)
                 j += 1
 
+    def merge(self, other: "StatsAccumulator") -> None:
+        """Fold another accumulator in (cross-host reduction; mirrors
+        Stats::merge, reference: src/stats.cpp:815-863)."""
+        self._extend(other.buf_len)
+        L = other.buf_len
+        self.cycle_q20[:, :L] += other.cycle_q20
+        self.cycle_q30[:, :L] += other.cycle_q30
+        self.cycle_content[:, :L] += other.cycle_content
+        self.cycle_quality[:, :L] += other.cycle_quality
+        self.cycle_total[:L] += other.cycle_total
+        self.cycle_total_qual[:L] += other.cycle_total_qual
+        self.reads += other.reads
+        self.length_sum += other.length_sum
+        if self.kmer is not None and other.kmer is not None:
+            self.kmer += other.kmer
+        for s, c in other.over_rep_count.items():
+            if s in self.over_rep_count:
+                self.over_rep_count[s] += c
+                self.over_rep_dist[s] += other.over_rep_dist[s]
+        self._summary = None
+
     # ------------------------------------------------------------------
     def summarize(self) -> dict:
         """reference: src/stats.cpp:147-228"""

@@ -165,6 +165,16 @@ class FastqStreamError(RuntimeError):
     pass
 
 
+class SkippedPack:
+    """Placeholder for a pack owned by another host: the stream was advanced
+    and record boundaries counted, but no matrices were built."""
+
+    __slots__ = ("count",)
+
+    def __init__(self, count: int):
+        self.count = count
+
+
 class _RawStream:
     """Chunked reader over a possibly-gzipped (multi-member) file."""
 
@@ -235,11 +245,14 @@ class PackReader:
             self._py_iter = iter_records(path)
         self._done = False
 
-    def next_pack(self) -> Optional[ReadPack]:
+    def next_pack(self, skip: bool = False):
+        """Next pack, or a :class:`SkippedPack` (record count only) when
+        ``skip`` is set -- used by multi-host runs to advance past packs owned
+        by other hosts without building matrices."""
         if self._done:
             return None
-        pack = (self._next_native() if self._use_native
-                else self._next_python())
+        pack = (self._next_native(skip) if self._use_native
+                else self._next_python(skip))
         if pack is None or pack.count == 0:
             self._done = True
             if self._use_native:
@@ -248,7 +261,7 @@ class PackReader:
         return pack
 
     # ------------------------------------------------------------------
-    def _next_native(self) -> Optional[ReadPack]:
+    def _next_native(self, skip: bool = False):
         if self._err:
             return None
         want = int(self.pack_reads * self._bytes_per_rec * 1.1) + (1 << 16)
@@ -271,6 +284,8 @@ class PackReader:
                     return None
                 del self._pending[:consumed]
                 self._bytes_per_rec = max(50.0, consumed / max(n, 1))
+                if skip:
+                    return SkippedPack(n)
                 return self._make_native_pack(buf, n, spans)
             # not enough data parsed yet: read more
             want = int(want * 1.5) + (1 << 20)
@@ -285,7 +300,7 @@ class PackReader:
                         spans["strand_off"].copy(), spans["strand_len"].copy(),
                         seq, qual, lens)
 
-    def _next_python(self) -> Optional[ReadPack]:
+    def _next_python(self, skip: bool = False):
         recs = []
         for rec in self._py_iter:
             recs.append(rec)
@@ -293,6 +308,8 @@ class PackReader:
                 break
         if not recs:
             return None
+        if skip:
+            return SkippedPack(len(recs))
         return make_pack(recs, self.phred64, self.width_multiple)
 
 

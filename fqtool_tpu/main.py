@@ -18,6 +18,15 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/fqtool_tpu_xla"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+# explicit platform selection (e.g. FQTOOL_TPU_PLATFORM=cpu for multi-host
+# CPU tests): must go through jax.config because an axon sitecustomize may
+# have force-set jax_platforms before env vars are consulted
+_plat = os.environ.get("FQTOOL_TPU_PLATFORM")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
 from .config.cli import parse_args
 from .config.options import Options
 from .host import evaluator
@@ -25,6 +34,11 @@ from .pipeline.runner import SingleEndRunner, loginfo
 
 
 def run(opt: Options) -> None:
+    # multi-host process group, if configured: jax.distributed.initialize
+    # must run before any backend use, so this precedes the pre-passes
+    from .dist import multihost
+    multihost.active()
+
     # evaluation pre-passes (main.cpp:128-143).  The read-number estimate
     # scans up to 512Ki records but is consumed only by -s split sizing
     # (main.cpp:132-135), so it runs only when needed.
@@ -51,11 +65,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     from .config.options import OptionError
     try:
         opt = parse_args(argv)
+        run(opt)
     except OptionError as e:
         # reference: util::errorExit prints and exits -1 (util.h:303-306)
         sys.stderr.write(f"error: {e}\n")
         return 255
-    run(opt)
     return 0
 
 

@@ -101,6 +101,9 @@ class PairEndRunner:
         self._post1_counter = 0
         self._post2_counter = 0
         self._rows = 0  # device batch size, locked at the first pack
+        # global stream index of the current pack's first pair (multi-host
+        # runs; None = single-host, dup table keeps its own local counter)
+        self._record_base = None
         self.adapter_r1, self.adapter_r2 = self._effective_adapters()
 
     def _make_stats(self, is_r2: bool) -> StatsAccumulator:
@@ -127,6 +130,11 @@ class PairEndRunner:
     # ------------------------------------------------------------------
     def run(self) -> None:
         opt = self.opt
+        from ..dist import multihost
+        mh = multihost.active()
+        if mh is not None:
+            self._run_mh(mh)
+            return
         maybe_enable_sharding(pe_pipeline_call)
         split = SplitWriter(opt, paired=True) if opt.split.enabled else None
         w_out1 = (AsyncWriter(opt.out1, opt.compression)
@@ -181,6 +189,62 @@ class PairEndRunner:
             if w is not None:
                 w.close()
         self.write_reports()
+
+    def _run_mh(self, mh) -> None:
+        """Multi-host run: process owned pair packs, write pack-indexed part
+        files per output stream, reduce accumulators to rank 0, which merges
+        the streams and writes the reports (dist/multihost.py)."""
+        opt = self.opt
+        from ..config.options import OptionError
+        if opt.split.enabled:
+            raise OptionError("split output is not supported in multi-host runs")
+        maybe_enable_sharding(pe_pipeline_call)
+        streams = [("out1", opt.out1 if opt.out1 and opt.out2 else None),
+                   ("out2", opt.out2 if opt.out1 and opt.out2 else None),
+                   ("unpaired1", opt.unpaired1),
+                   ("unpaired2", opt.unpaired2
+                    if opt.unpaired2 and opt.unpaired2 != opt.unpaired1 else None),
+                   ("merged", opt.merge_pe.out
+                    if opt.merge_pe.enabled and opt.merge_pe.out else None),
+                   ("failed", opt.failed_out)]
+        writers = {name: mh.part_writer(path)
+                   for name, path in streams if path}
+        pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_PE_PACK_CHUNKS", "4")))
+        pack_reads = min(opt.buf_size.max_reads_in_pack, PE_CHUNK * pack_chunks)
+        for gidx, pack1, pack2 in prefetch_iter(mh.iter_owned_pe(
+                opt.in1, opt.in2, opt.interleaved_input,
+                pack_reads, opt.phred64)):
+            self._pre_counter = gidx * pack_reads
+            self._record_base = gidx * pack_reads
+            r = self.process_pack(pack1, pack2,
+                                  has_unpaired1=opt.unpaired1 != "",
+                                  want_failed=opt.failed_out != "")
+            for name, w in writers.items():
+                w.write(gidx, r[name])
+        for w in writers.values():
+            w.close()
+        loginfo(f"PE processing finished (rank {mh.rank}/{mh.world})")
+        payload = dict(
+            pre1=self.pre1, pre2=self.pre2, post1=self.post1, post2=self.post2,
+            fr=self.filter_result, insert_hist=self.insert_hist,
+            dup=None if self.dup is None else self.dup.payload(),
+            idx={name: w.index for name, w in writers.items()})
+        gathered = mh.gather(payload)
+        if mh.rank == 0:
+            for pl in gathered[1:]:
+                self.pre1.merge(pl["pre1"])
+                self.pre2.merge(pl["pre2"])
+                self.post1.merge(pl["post1"])
+                self.post2.merge(pl["post2"])
+                self.filter_result.merge(pl["fr"])
+                self.insert_hist += pl["insert_hist"]
+                if self.dup is not None and pl["dup"] is not None:
+                    self.dup.merge_payload(pl["dup"])
+            for name, w in writers.items():
+                mh.merge_stream(w.final_path, opt.compression,
+                                [pl["idx"].get(name, []) for pl in gathered])
+            self.write_reports()
+        mh.barrier()
 
     # ------------------------------------------------------------------
     def process_pack(self, pack1: ReadPack, pack2: ReadPack,
@@ -273,7 +337,9 @@ class PairEndRunner:
             self.dup.add_batch(
                 np.asarray(d.key), np.asarray(d.kmer_hi),
                 np.asarray(d.kmer_lo), np.asarray(d.gc), valid,
-                key_hi=None if d.key_hi is None else np.asarray(d.key_hi))
+                key_hi=None if d.key_hi is None else np.asarray(d.key_hi),
+                base=None if self._record_base is None
+                else self._record_base + lo)
 
         kchunk = keep[lo : lo + n]
         result1 = np.asarray(out["result1"])[:n]

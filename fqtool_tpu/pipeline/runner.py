@@ -85,15 +85,17 @@ def start_host_copies(tree) -> None:
 def maybe_enable_sharding(*blob_calls) -> None:
     """Data-parallel execution over all local devices: install a 1-D
     read-axis mesh on the pipeline calls when more than one device is
-    available (disable with FQTOOL_TPU_SHARD=0)."""
+    available (disable with FQTOOL_TPU_SHARD=0).  Local devices only: in
+    multi-host runs each host computes its own packs on its own chips and
+    only statistics cross hosts (dist/multihost.py)."""
     if os.environ.get("FQTOOL_TPU_SHARD", "1") == "0":
         return
-    devices = jax.devices()
+    devices = jax.local_devices()
     if len(devices) < 2:
         return
     from ..dist.sharding import make_mesh
 
-    mesh = make_mesh()
+    mesh = make_mesh(devices=devices)
     for call in blob_calls:
         call.set_mesh(mesh)
     loginfo(f"data-parallel over {len(devices)} devices")
@@ -212,6 +214,9 @@ class SingleEndRunner:
         self._pre_counter = 0
         self._post_counter = 0
         self._rows = 0  # device batch size, locked at the first pack
+        # global stream index of the current pack's first record (multi-host
+        # runs; None = single-host, dup table keeps its own local counter)
+        self._record_base = None
         self.adapter_r1 = self._effective_adapter()
 
     def _make_stats(self) -> StatsAccumulator:
@@ -233,6 +238,11 @@ class SingleEndRunner:
     # ------------------------------------------------------------------
     def run(self) -> None:
         opt = self.opt
+        from ..dist import multihost
+        mh = multihost.active()
+        if mh is not None:
+            self._run_mh(mh)
+            return
         maybe_enable_sharding(se_pipeline_call)
         split = SplitWriter(opt, paired=False) if opt.split.enabled else None
         out_writer = (AsyncWriter(opt.out1, opt.compression)
@@ -276,6 +286,57 @@ class SingleEndRunner:
             failed_writer.close()
         with stage("reports"):
             self.write_reports()
+
+    def _run_mh(self, mh) -> None:
+        """Multi-host run: process owned packs, write pack-indexed part
+        files, reduce accumulators to rank 0, which merges the output streams
+        and writes the reports (dist/multihost.py)."""
+        opt = self.opt
+        from ..config.options import OptionError
+        if opt.split.enabled:
+            raise OptionError("split output is not supported in multi-host runs")
+        maybe_enable_sharding(se_pipeline_call)
+        writers = {}
+        if opt.out1:
+            writers["out1"] = mh.part_writer(opt.out1)
+        if opt.failed_out:
+            writers["failed"] = mh.part_writer(opt.failed_out)
+        pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_SE_PACK_CHUNKS", "1")))
+        pack_reads = SE_CHUNK * pack_chunks
+        for gidx, pack in prefetch_iter(
+                mh.iter_owned_se(opt.in1, pack_reads, opt.phred64)):
+            # ORA pre-sampling strides over the GLOBAL stream order; packs are
+            # fixed-size so the base index is pack_idx * pack_reads.  (Post
+            # sampling stays per-host, the analog of the reference's
+            # per-thread sampling under -w > 1.)
+            self._pre_counter = gidx * pack_reads
+            self._record_base = gidx * pack_reads
+            outstr, failedstr, _ = self.complete_pack(self.submit_pack(pack))
+            if "out1" in writers:
+                writers["out1"].write(gidx, outstr)
+            if "failed" in writers:
+                writers["failed"].write(gidx, failedstr)
+        for w in writers.values():
+            w.close()
+        loginfo(f"SE processing finished (rank {mh.rank}/{mh.world})")
+        payload = dict(
+            pre=self.pre_stats, post=self.post_stats, fr=self.filter_result,
+            dup=None if self.dup is None else self.dup.payload(),
+            idx={name: w.index for name, w in writers.items()})
+        gathered = mh.gather(payload)
+        if mh.rank == 0:
+            for pl in gathered[1:]:
+                self.pre_stats.merge(pl["pre"])
+                self.post_stats.merge(pl["post"])
+                self.filter_result.merge(pl["fr"])
+                if self.dup is not None and pl["dup"] is not None:
+                    self.dup.merge_payload(pl["dup"])
+            for name, w in writers.items():
+                mh.merge_stream(w.final_path, opt.compression,
+                                [pl["idx"].get(name, []) for pl in gathered])
+            with stage("reports"):
+                self.write_reports()
+        mh.barrier()
 
     def _run_loop(self, opt, split, out_writer, failed_writer, emit, pack_reads):
         # Cross-pack device overlap (submit pack k+1 before folding pack k)
@@ -344,6 +405,7 @@ class SingleEndRunner:
         """Collect dispatched chunk outputs; fold stats/dup, concatenate the
         per-read arrays."""
         merged: dict = {}
+        base = self._record_base
         for n, out in pending:
             with stage("device_wait"):
                 out = out.get()
@@ -360,7 +422,10 @@ class SingleEndRunner:
                 self.dup.add_batch(
                     np.asarray(d.key), np.asarray(d.kmer_hi),
                     np.asarray(d.kmer_lo), np.asarray(d.gc), valid,
-                    key_hi=None if d.key_hi is None else np.asarray(d.key_hi))
+                    key_hi=None if d.key_hi is None else np.asarray(d.key_hi),
+                    base=base)
+            if base is not None:
+                base += n
             for k, v in out.items():
                 merged.setdefault(k, []).append(np.asarray(v)[:n])
         return {k: (np.concatenate(v) if len(v) > 1 else v[0])

@@ -1,0 +1,139 @@
+"""Multi-host data-parallel golden tests.
+
+Launches N fqtool_tpu processes on localhost (jax.distributed process group
+on CPU, one virtual device each) and asserts the merged outputs are
+byte-identical to the single-process run: FASTQ streams compared as raw file
+bytes (including gzip framing -- the rank-0 merge recompresses the globally
+ordered record stream through one writer) and the JSON report compared
+key-for-key.
+
+Reference architecture being replaced: producer/consumer pthreads + mutex
+output ordering (src/seprocessor.cpp:59-180, peprocessor.cpp:525-658); here
+packs stride across host processes and only end-of-stream statistics cross
+hosts (dist/multihost.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from .oracle import TESTDATA, compare_json
+
+R1 = TESTDATA / "r1.fq.gz"
+R2 = TESTDATA / "r2.fq.gz"
+REPO = str(Path(__file__).resolve().parent.parent)
+
+# small packs so 12.5k reads spread over several ranks
+_CHUNK_ENV = {
+    "FQTOOL_TPU_SE_CHUNK": "2048",
+    "FQTOOL_TPU_PE_CHUNK": "1024",
+    "FQTOOL_TPU_SE_PACK_CHUNKS": "1",
+    "FQTOOL_TPU_PE_PACK_CHUNKS": "2",
+}
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("", 0))
+        return s.getsockname()[1]
+
+
+def _run_single(argv, workdir: Path) -> None:
+    workdir.mkdir(parents=True, exist_ok=True)
+    env = os.environ.copy()
+    env.update(_CHUNK_ENV)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["FQTOOL_TPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.pop("FQTOOL_TPU_COORDINATOR", None)
+    proc = subprocess.run(
+        [sys.executable, "-m", "fqtool_tpu.main", *argv], cwd=workdir,
+        env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr
+
+
+def _run_multihost(argv, workdir: Path, nprocs: int) -> None:
+    workdir.mkdir(parents=True, exist_ok=True)
+    port = _free_port()
+    procs = []
+    for rank in range(nprocs):
+        env = os.environ.copy()
+        env.update(_CHUNK_ENV)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env.update({
+            "FQTOOL_TPU_COORDINATOR": f"127.0.0.1:{port}",
+            "FQTOOL_TPU_NPROCS": str(nprocs),
+            "FQTOOL_TPU_PROC_ID": str(rank),
+            "FQTOOL_TPU_PLATFORM": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "fqtool_tpu.main", *argv], cwd=workdir,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    fails = []
+    for rank, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        if p.returncode != 0:
+            fails.append(f"rank {rank} rc={p.returncode}:\n{err}")
+    assert not fails, "\n".join(fails)
+
+
+def _assert_equal_outputs(single: Path, multi: Path, outputs, json_name="report.json"):
+    for name in outputs:
+        a = (single / name).read_bytes() if (single / name).exists() else None
+        b = (multi / name).read_bytes() if (multi / name).exists() else None
+        assert a == b, f"{name}: multihost bytes differ from single-process"
+    with open(single / json_name) as f:
+        js = json.load(f)
+    with open(multi / json_name) as f:
+        jm = json.load(f)
+    diffs = compare_json(jm, js)
+    assert not diffs, "\n".join(diffs[:40])
+
+
+@pytest.mark.parametrize("nprocs", [2, 4])
+def test_multihost_se_quality_dup(tmp_path, nprocs):
+    """SE config with quality filter, trims and duplication analysis."""
+    argv = ["-i", str(R1), "-o", "out.fq.gz", "-q", "-f", "3", "-t", "2", "-d",
+            "--failed_out", "failed.fq.gz"]
+    _run_single(argv, tmp_path / "single")
+    _run_multihost(argv, tmp_path / f"mh{nprocs}", nprocs)
+    _assert_equal_outputs(tmp_path / "single", tmp_path / f"mh{nprocs}",
+                          ("out.fq.gz", "failed.fq.gz"))
+
+
+def test_multihost_pe_merge_correction(tmp_path):
+    """PE merge + correction: stateful paths (insert-size histogram, dup
+    combiner, correction patches) across 2 hosts."""
+    argv = ["-i", str(R1), "-I", str(R2), "-o", "out1.fq.gz",
+            "-O", "out2.fq.gz", "-m", "--merge_output", "merged.fq.gz",
+            "-c", "-d", "--failed_out", "failed.fq.gz"]
+    _run_single(argv, tmp_path / "single")
+    _run_multihost(argv, tmp_path / "mh2", 2)
+    _assert_equal_outputs(tmp_path / "single", tmp_path / "mh2",
+                          ("merged.fq.gz", "failed.fq.gz"))
+
+
+def test_multihost_pe_full(tmp_path):
+    """Full PE with adapter trimming, unpaired routing and kmer stats."""
+    argv = ["-i", str(R1), "-I", str(R2), "-o", "out1.fq.gz",
+            "-O", "out2.fq.gz", "-q", "--kmer", "--kmer_length", "6",
+            "-d", "-a", "--detect_pe_adapter",
+            "--unpaired_read1", "up1.fq.gz", "--unpaired_read2", "up2.fq.gz"]
+    _run_single(argv, tmp_path / "single")
+    _run_multihost(argv, tmp_path / "mh2", 2)
+    _assert_equal_outputs(tmp_path / "single", tmp_path / "mh2",
+                          ("out1.fq.gz", "out2.fq.gz", "up1.fq.gz", "up2.fq.gz"))
