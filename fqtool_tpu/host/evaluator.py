@@ -436,7 +436,9 @@ def _count_seed_kmers(records: List[str], keylen: int, shift_tail: int) -> np.nd
             c = codes[:, 20 + j : 20 + j + npos]
             keys = keys * 4 + np.maximum(c, 0)
             ok &= c >= 0
-        np.add.at(counts, keys[ok], 1)
+        # bincount, not np.add.at: the unbuffered ufunc costs ~1us/element
+        # (11s over a 256Ki-read scan); bincount is a C histogram
+        counts += np.bincount(keys[ok].reshape(-1), minlength=size)
     return counts
 
 

@@ -53,13 +53,16 @@ def trim_by_sequence(seq: jnp.ndarray, rlen: jnp.ndarray,
     # computed as ``alen`` static shifted slices (no gather: per-row gathers
     # are orders of magnitude slower on the TPU VPU than sliced compares)
     seq_pad = jnp.pad(seq, ((0, 0), (-start, alen)))  # read index i+pos -> col i+pos-start
-    mism = jnp.zeros(seq.shape[:1] + (P,), jnp.int32)
+    # uint8 accumulator (mism <= alen < 256): a quarter of the HBM traffic
+    # of int32 across the ``alen`` accumulation passes
+    mism = jnp.zeros(seq.shape[:1] + (P,), jnp.uint8)
     for i in range(alen):
         window = seq_pad[:, i : i + P]  # == seq[b, pos + i] over the pos axis
         neq = window != adapter[i]
         # compare region: i >= -pos (static per column) and pos + i < rlen
         valid_i = (pos_axis >= -i) & (pos_axis + i < rlen[:, None])
-        mism = mism + (neq & valid_i)
+        mism = mism + (neq & valid_i).astype(jnp.uint8)
+    mism = mism.astype(jnp.int32)
     cmplen = jnp.minimum(rlen[:, None] - pos_axis, alen)  # [B, P]
     allowed = cmplen // ALLOW_ONE_MISMATCH_EACH
     matched = mism <= allowed

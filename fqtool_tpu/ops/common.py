@@ -16,32 +16,27 @@ A, C, G, T, N = 65, 67, 71, 84, 78
 Q20_CHAR = ord("5")  # reference: stats.cpp:250
 Q30_CHAR = ord("?")  # reference: stats.cpp:251
 
-import numpy as np
-
-# base -> 2-bit code used by seq2int (reference: evaluator.cpp:3-49):
-# A=0, T=1, C=2, G=3, everything else invalid.
-# NOTE: these lookup tables must be HOST (numpy) arrays: a module-level
-# device array would be closed over as a jaxpr constant and lowering would
-# fetch its value from the device mid-dispatch, which deadlocks remote
-# attachments.
-_SEQ2INT_LUT = np.full((256,), -1, dtype=np.int8)
-for _b, _v in ((A, 0), (T, 1), (C, 2), (G, 3)):
-    _SEQ2INT_LUT[_b] = _v
-
-# base -> complement (reference: seq.h:24-48 / util complement): other -> N
-_COMPLEMENT_LUT = np.full((256,), N, dtype=np.uint8)
-for _src, _dst in ((A, T), (ord("a"), T), (T, A), (ord("t"), A),
-                   (C, G), (ord("c"), G), (G, C), (ord("g"), C)):
-    _COMPLEMENT_LUT[_src] = _dst
-
-
 def seq2int_codes(seq: jnp.ndarray) -> jnp.ndarray:
-    """Map ASCII bases to 2-bit codes; -1 marks invalid bases."""
-    return jnp.asarray(_SEQ2INT_LUT)[seq.astype(jnp.int32)]
+    """Map ASCII bases to 2-bit codes; -1 marks invalid bases.
+
+    Compare/select chain, not a 256-entry LUT: per-element table gathers are
+    the single slowest vector op on TPU (~25 ms per [8k, 152] plane on v5e),
+    where a 4-way select is pure VPU."""
+    return jnp.select(
+        [seq == A, seq == T, seq == C, seq == G],
+        [jnp.int8(0), jnp.int8(1), jnp.int8(2), jnp.int8(3)],
+        jnp.int8(-1)).astype(jnp.int8)
 
 
 def complement(seq: jnp.ndarray) -> jnp.ndarray:
-    return jnp.asarray(_COMPLEMENT_LUT)[seq.astype(jnp.int32)]
+    """Base complement (reference: seq.h:24-48): A<->T C<->G (either case),
+    everything else -> N.  Select chain for the same reason as above."""
+    la, lt, lc, lg = ord("a"), ord("t"), ord("c"), ord("g")
+    return jnp.select(
+        [(seq == A) | (seq == la), (seq == T) | (seq == lt),
+         (seq == C) | (seq == lc), (seq == G) | (seq == lg)],
+        [jnp.uint8(T), jnp.uint8(A), jnp.uint8(G), jnp.uint8(C)],
+        jnp.uint8(N)).astype(jnp.uint8)
 
 
 def positions(n: int) -> jnp.ndarray:
@@ -78,6 +73,23 @@ def align(seq: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
     width = seq.shape[1]
     idx = jnp.minimum(start[:, None] + positions(width), width - 1)
     return jnp.take_along_axis(seq, idx, axis=1)
+
+
+def align_static(seq: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Left-shift every row by the STATIC offset ``k`` (slice + pad -- free,
+    where the per-row gather of :func:`align` costs ~1.5 us/row on v5e).
+    Used when the front offset is a compile-time constant (force-front trim
+    with quality front-cut disabled)."""
+    if k == 0:
+        return seq
+    return jnp.pad(seq[:, k:], ((0, 0), (0, k)))
+
+
+def select_at(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x[b, idx[b]] as a masked reduction -- one compare + sum on the VPU
+    instead of a per-row gather."""
+    sel = positions(x.shape[1]) == idx[:, None]
+    return jnp.sum(jnp.where(sel, x, jnp.zeros((), x.dtype)), axis=1)
 
 
 def prefix_sums(x: jnp.ndarray) -> jnp.ndarray:

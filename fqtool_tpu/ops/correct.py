@@ -14,8 +14,6 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-import jax
-
 from .common import complement, positions
 
 GOOD_QUAL = 30 + 33  # util::num2qual(30), basecorrector.cpp:27
@@ -44,11 +42,20 @@ class CorrectResult(NamedTuple):
 
 
 def _sparse_patches(fix: jnp.ndarray, new_seq: jnp.ndarray, new_qual: jnp.ndarray):
-    """Extract up to MAX_FIXES corrected positions per row."""
+    """Extract up to MAX_FIXES corrected positions per row.
+
+    Iterative max-extraction instead of ``lax.top_k``: 5 masked max
+    reductions compile to straight VPU code, where top_k lowers to a sort
+    (~30x slower at this shape on v5e)."""
     B, L = fix.shape
     pos = positions(L)
-    marked = jnp.where(fix, pos, -1)
-    top = jax.lax.top_k(marked, MAX_FIXES)[0]  # [B, MAX_FIXES], -1 padded
+    cur = jnp.where(fix, pos, -1)
+    tops = []
+    for _ in range(MAX_FIXES):
+        t = jnp.max(cur, axis=1)          # [B] largest remaining position
+        tops.append(t)
+        cur = jnp.where(cur == t[:, None], -1, cur)
+    top = jnp.stack(tops, axis=1)         # [B, MAX_FIXES] descending, -1 pad
     idx = jnp.clip(top, 0, L - 1)
     return (top,
             jnp.take_along_axis(new_seq, idx, axis=1),
@@ -95,15 +102,24 @@ def correct_by_overlap(seq1, qual1, rlen1, seq2, qual2, rlen2, ov,
     corrected1 = jnp.sum(fix1, axis=1).astype(jnp.int32)
     corrected2 = jnp.sum(fix2, axis=1).astype(jnp.int32)
 
-    # correction matrix: (from & 7) * 8 + (to & 7), filterresult.cpp:122-126
-    matrix = jnp.zeros((64,), jnp.int32)
-    idx1 = ((seq1 & 7).astype(jnp.int32) * 8 + (complement(mate_seq) & 7).astype(jnp.int32))
-    matrix = matrix.at[idx1.reshape(-1)].add(fix1.reshape(-1).astype(jnp.int32))
-    idx2 = ((seq2 & 7).astype(jnp.int32) * 8 + (complement(mate_seq2) & 7).astype(jnp.int32))
-    matrix = matrix.at[idx2.reshape(-1)].add(fix2.reshape(-1).astype(jnp.int32))
-
     pos1, ns1, nq1 = _sparse_patches(fix1, new_seq1, new_qual1)
     pos2, ns2, nq2 = _sparse_patches(fix2, new_seq2, new_qual2)
+
+    # correction matrix (from & 7) * 8 + (to & 7), filterresult.cpp:122-126 --
+    # computed from the sparse patches (<= MAX_FIXES entries per row) as 64
+    # masked sums over [B, MAX_FIXES]: a [B*L] scatter-add into 64 bins costs
+    # ~100ms/chunk on v5e, this is noise
+    def _matrix_from(seq, pos, new_seq):
+        idx = jnp.clip(pos, 0, seq.shape[1] - 1)
+        frm = jnp.take_along_axis(seq, idx, axis=1)
+        key = (frm & 7).astype(jnp.int32) * 8 + (new_seq & 7).astype(jnp.int32)
+        live = (pos >= 0).astype(jnp.int32)
+        return jnp.stack([jnp.sum(jnp.where(key == m, live, 0))
+                          for m in range(64)])
+
+    matrix = (_matrix_from(seq1, pos1, ns1)
+              + _matrix_from(seq2, pos2, ns2)).astype(jnp.int32)
+
     return CorrectResult(new_seq1, new_qual1, new_seq2, new_qual2,
                          corrected1, corrected2, matrix,
                          pos1, ns1, nq1, pos2, ns2, nq2)

@@ -13,7 +13,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .common import C, G, seq2int_codes, valid_mask
+from .common import C, G, select_at, seq2int_codes, valid_mask
 
 
 class DupKeys(NamedTuple):
@@ -52,19 +52,32 @@ def _pack_2bit_fixed(codes: jnp.ndarray, start: int, n: int):
     return val, ok
 
 
-def _pack_2bit(codes: jnp.ndarray, start: jnp.ndarray, n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Pack ``n`` 2-bit codes beginning at per-read ``start``: one [B, n]
-    gather, then static-sliced packing (per-row gathers are ~100x slower on
-    TPU than a single take_along_axis)."""
+def _rolling_pack16(codes: jnp.ndarray):
+    """w16[b, p] = 2-bit pack of codes[b, p..p+16) for EVERY position, via 4
+    shift-doubling steps of static slices -- no gathers.  Also returns the
+    all-valid mask per window."""
     B, L = codes.shape
-    idx = jnp.clip(start[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :], 0, L - 1)
-    window = jnp.take_along_axis(codes, idx, axis=1).astype(jnp.int32)  # [B, n]
-    val = jnp.zeros((B,), jnp.uint32)
-    ok = jnp.ones((B,), bool)
-    for j in range(n):
-        c = window[:, j]
-        val = val * 4 + jnp.maximum(c, 0).astype(jnp.uint32)
-        ok = ok & (c >= 0)
+    val = jnp.maximum(codes, 0).astype(jnp.uint32)
+    ok = codes >= 0
+    width = 1
+    while width < 16:
+        val_sh = jnp.pad(val[:, width:], ((0, 0), (0, width)))
+        ok_sh = jnp.pad(ok[:, width:], ((0, 0), (0, width)))
+        val = (val << (2 * width)) | val_sh
+        ok = ok & ok_sh
+        width *= 2
+    return val, ok
+
+
+def _pack_2bit(codes: jnp.ndarray, start: jnp.ndarray, n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack ``n`` (16) 2-bit codes beginning at per-read ``start``: rolling
+    windows over all positions (static slices), then a masked-reduction
+    select at ``start`` -- per-row gathers cost ~1.5us/row on v5e, this is
+    pure VPU."""
+    assert n == 16
+    w16, ok16 = _rolling_pack16(codes)
+    val = select_at(w16, start)
+    ok = select_at(ok16.astype(jnp.uint32), start) > 0
     return val, ok
 
 

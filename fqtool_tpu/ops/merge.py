@@ -13,8 +13,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .common import positions
-from .overlap import OverlapResult, reverse_complement
+from .common import complement, positions
+from .overlap import OverlapResult
 
 
 class MergeResult(NamedTuple):
@@ -30,10 +30,11 @@ def merge_pairs(seq1, qual1, rlen1, seq2, qual2, rlen2, ov: OverlapResult) -> Me
     L2 = seq2.shape[1]
     LM = L1 + L2
 
-    rc2 = reverse_complement(seq2, rlen2)
-    # reversed quality (no complement)
-    idx = jnp.clip(rlen2[:, None] - 1 - positions(L2), 0, L2 - 1)
-    rq2 = jnp.take_along_axis(qual2, idx, axis=1)
+    # Two gathers total: revcomp(r2)[p] = complement(r2)[:, ::-1][p + L2-rlen2]
+    # (the static lane flip replaces the per-row reversal gather, so the
+    # per-row work collapses into one shifted index per plane)
+    rcr2 = complement(seq2)[:, ::-1]
+    rqr2 = qual2[:, ::-1]
 
     len1 = ov.overlap_len + jnp.maximum(0, ov.offset)
     len2 = jnp.where(ov.offset > 0, rlen2 - ov.overlap_len, 0)
@@ -41,10 +42,12 @@ def merge_pairs(seq1, qual1, rlen1, seq2, qual2, rlen2, ov: OverlapResult) -> Me
 
     pos = positions(LM)
     from_r1 = pos < len1[:, None]
-    # second part: position i maps to rc2[ol + (i - len1)]
-    idx2 = jnp.clip(ov.overlap_len[:, None] + pos - len1[:, None], 0, L2 - 1)
-    part2_seq = jnp.take_along_axis(rc2, jnp.minimum(idx2, L2 - 1), axis=1)
-    part2_qual = jnp.take_along_axis(rq2, jnp.minimum(idx2, L2 - 1), axis=1)
+    # merged[i] (i >= len1) = revcomp(r2)[ol + i - len1]
+    #                       = rcr2[(L2 - rlen2) + ol + i - len1]
+    shift = (L2 - rlen2) + ov.overlap_len - len1
+    idx2 = jnp.clip(pos + shift[:, None], 0, L2 - 1)
+    part2_seq = jnp.take_along_axis(rcr2, idx2, axis=1)
+    part2_qual = jnp.take_along_axis(rqr2, idx2, axis=1)
     seq1_p = jnp.pad(seq1, ((0, 0), (0, LM - L1)))
     qual1_p = jnp.pad(qual1, ((0, 0), (0, LM - L1)))
     mseq = jnp.where(from_r1, seq1_p, part2_seq)

@@ -183,14 +183,20 @@ def analyze(seq1: jnp.ndarray, rlen1: jnp.ndarray,
     L = max(L1, L2)
     rs2 = jnp.pad(reverse_complement(seq2, rlen2), ((0, 0), (0, L - L2)))
     s1 = jnp.pad(seq1, ((0, 0), (0, L - L1)))
-    i_ax = positions(L)[0]  # [L]
     zero = jnp.zeros((B,), jnp.int32)
+
+    # windows via STATIC slice stacking over a padded plane -- shifted reads
+    # at every offset with zero gathers (a [B, O, L] take_along_axis costs
+    # ~25ms/chunk on v5e; padded positions are masked by in_ol downstream)
+    def shifted_windows(x, O):
+        xp = jnp.pad(x, ((0, 0), (0, O)))
+        return jnp.stack([xp[:, o : o + L] for o in range(O)], axis=1)
 
     # ---- phase 1: offset o >= 0; compare s1[o+i] vs rs2[i] ----
     O1 = max(L1 - overlap_require, 0)
     if O1 > 0:
         o_ax = positions(O1)[0]
-        s1_sh = s1[:, jnp.clip(o_ax[:, None] + i_ax[None, :], 0, L - 1)]  # [B,O1,L]
+        s1_sh = shifted_windows(s1, O1)  # [B,O1,L]
         ol1 = jnp.minimum(rlen1[:, None] - o_ax[None, :], rlen2[:, None])
         valid1 = o_ax[None, :] < (rlen1[:, None] - overlap_require)
         found1, o1, ol_sel1, diff_sel1 = _phase_scan(
@@ -202,7 +208,7 @@ def analyze(seq1: jnp.ndarray, rlen1: jnp.ndarray,
     O2 = max(L2 - overlap_require, 0)
     if O2 > 0:
         j_ax = positions(O2)[0]
-        rs2_sh = rs2[:, jnp.clip(j_ax[:, None] + i_ax[None, :], 0, L - 1)]  # [B,O2,L]
+        rs2_sh = shifted_windows(rs2, O2)  # [B,O2,L]
         ol2 = jnp.minimum(rlen1[:, None], rlen2[:, None] - j_ax[None, :])
         valid2 = j_ax[None, :] < (rlen2[:, None] - overlap_require)
         found2, j2, ol_sel2, diff_sel2 = _phase_scan(

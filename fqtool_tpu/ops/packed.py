@@ -1,0 +1,72 @@
+"""Packed seq+qual transport encoding.
+
+The host->device link is the throughput bottleneck of the whole pipeline on
+remote-attached TPUs (measured 20-50 MB/s with ~100-200 ms per-message
+latency), and the two uint8 matrices per read side (sequence + quality) are
+by far the largest payload.  For real FASTQ data both fit in ONE byte per
+base:
+
+    enc = code(base) + 5 * (qual - 33)        code: A=0 C=1 G=2 T=3 N=4
+    pad = 255
+
+which is valid whenever every base is A/C/G/T/N and every quality is in
+[33, 83] ('!' .. 'S') -- all Illumina and phred64-converted data.  The host
+encoder returns None for anything else (lowercase bases, exotic bytes,
+quality > 'S') and the runner falls back to the raw two-matrix path, so the
+encoding is a pure transport optimization with no semantic surface.
+
+The device decoder reconstructs the exact ASCII bytes with elementwise
+arithmetic and a 6-way select (no gathers), so every downstream kernel sees
+byte-identical inputs.  This halves upload bytes and roughly doubles
+end-to-end throughput on tunnel-attached chips (there is no reference
+counterpart: fqtool's reader hands `std::string`s to pthread workers,
+src/fqreader.cpp:160-195).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .common import A, C, G, N, T
+
+QUAL_MIN = 33
+QUAL_MAX = 33 + 50  # code + 5*50 = 254 < 255 (the pad sentinel)
+PAD = 255
+
+# base byte -> code; 5 marks the zero pad byte, 255 anything unencodable
+_CODE_LUT = np.full(256, 255, np.uint8)
+for _i, _ch in enumerate(b"ACGTN"):
+    _CODE_LUT[_ch] = _i
+_CODE_LUT[0] = 5
+
+
+def encode_host(seq: np.ndarray, qual: np.ndarray) -> Optional[np.ndarray]:
+    """Encode a zero-padded ASCII (seq, qual) pair into one uint8 matrix, or
+    None when the content is outside the encodable alphabet/quality range."""
+    code = _CODE_LUT[seq]
+    if (code == 255).any():
+        return None
+    live = qual != 0
+    if ((qual < QUAL_MIN) & live).any() or (qual > QUAL_MAX).any():
+        return None
+    if (live != (code != 5)).any():  # seq pad and qual pad must agree
+        return None
+    return np.where(code == 5, PAD,
+                    code + (qual - QUAL_MIN) * np.uint8(5)).astype(np.uint8)
+
+
+def decode_device(enc: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of :func:`encode_host`, on device: elementwise arithmetic plus
+    a 6-way select -- no gathers."""
+    pad = enc == PAD
+    q33 = enc // np.uint8(5)          # 0..50 (pad: 51)
+    code = enc - q33 * np.uint8(5)    # 0..4 (pad: 0)
+    qual = jnp.where(pad, np.uint8(0), q33 + np.uint8(QUAL_MIN)).astype(jnp.uint8)
+    seq = jnp.select(
+        [pad, code == 0, code == 1, code == 2, code == 3],
+        [np.uint8(0), np.uint8(A), np.uint8(C), np.uint8(G), np.uint8(T)],
+        np.uint8(N)).astype(jnp.uint8)
+    return seq, qual

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .common import Q20_CHAR, Q30_CHAR, seq2int_codes, valid_mask
@@ -37,19 +38,27 @@ def stat_batch(seq: jnp.ndarray, qual: jnp.ndarray, rlen: jnp.ndarray,
     mask = valid_mask(rlen, L)
     if select is not None:
         mask = mask & select[:, None]
-    bidx = (seq & 0x07).astype(jnp.int32)
     qv = qual.astype(jnp.int32)
-    q20 = qv > Q20_CHAR
-    q30 = qv > Q30_CHAR
+    q20 = mask & (qv > Q20_CHAR)
+    q30 = mask & (qv > Q30_CHAR)
     qoff = jnp.where(mask, qv - 33, 0)
 
-    cq20, cq30, ccontent, cquality = [], [], [], []
-    for k in range(8):
-        sel = (bidx == k) & mask
-        cq20.append(jnp.sum(sel & q20, axis=0))
-        cq30.append(jnp.sum(sel & q30, axis=0))
-        ccontent.append(jnp.sum(sel, axis=0))
-        cquality.append(jnp.sum(jnp.where(sel, qoff, 0), axis=0))
+    # MXU formulation: per cycle l the 8x4 histogram block is
+    # onehot[l](8 x B) @ weights[l](B x 4) -- one dot_general batched over L,
+    # contracting the read axis on the matrix unit.  bf16 inputs are exact
+    # (0/1 and qualities <= 60), f32 accumulation is exact below 2^24.
+    # Replaces 32 masked [B, L] reductions that XLA lowers ~20x slower.
+    oh = jnp.stack([mask & ((seq & 0x07) == k) for k in range(8)],
+                   axis=1).astype(jnp.bfloat16)            # [B, 8, L]
+    w = jnp.stack([mask.astype(jnp.bfloat16),
+                   q20.astype(jnp.bfloat16),
+                   q30.astype(jnp.bfloat16),
+                   qoff.astype(jnp.bfloat16)], axis=1)     # [B, 4, L]
+    hist = jax.lax.dot_general(
+        oh, w, (((0,), (0,)), ((2,), (2,))),
+        preferred_element_type=jnp.float32)                # [L, 8, 4]
+    hist = hist.astype(jnp.int32)
+    cq = hist.transpose(1, 2, 0)                           # [8, 4, L]
 
     if select is None:
         nreads = jnp.int32(B)
@@ -57,13 +66,14 @@ def stat_batch(seq: jnp.ndarray, qual: jnp.ndarray, rlen: jnp.ndarray,
     else:
         nreads = jnp.sum(select).astype(jnp.int32)
         lsum = jnp.sum(jnp.where(select, rlen, 0))
+    # bins partition the masked positions, so the totals are bin sums
     return BatchStats(
-        cycle_q20=jnp.stack(cq20).astype(jnp.int32),
-        cycle_q30=jnp.stack(cq30).astype(jnp.int32),
-        cycle_content=jnp.stack(ccontent).astype(jnp.int32),
-        cycle_quality=jnp.stack(cquality).astype(jnp.int32),
-        cycle_total=jnp.sum(mask, axis=0).astype(jnp.int32),
-        cycle_total_qual=jnp.sum(qoff, axis=0).astype(jnp.int32),
+        cycle_q20=cq[:, 1],
+        cycle_q30=cq[:, 2],
+        cycle_content=cq[:, 0],
+        cycle_quality=cq[:, 3],
+        cycle_total=jnp.sum(cq[:, 0], axis=0),
+        cycle_total_qual=jnp.sum(cq[:, 3], axis=0),
         reads=nreads,
         length_sum=lsum.astype(jnp.int32),
     )

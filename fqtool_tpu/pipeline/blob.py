@@ -170,8 +170,10 @@ class BlobCall:
         return tuple(out)
 
     def __call__(self, *args, **static_kwargs) -> BlobResult:
+        # NOTE: a.dtype directly -- np.asarray(a) on a jax Array would fetch
+        # it device->host just to read the dtype
         key = (tuple(sorted(static_kwargs.items())),
-               tuple((tuple(a.shape), str(np.asarray(a).dtype)) for a in args))
+               tuple((tuple(a.shape), str(a.dtype)) for a in args))
         entry = self._specs.get(key)
         if entry is None:
             shaped = jax.eval_shape(

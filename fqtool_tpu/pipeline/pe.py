@@ -27,7 +27,7 @@ from ..ops import overlap as ops_overlap
 from ..ops import polyx as ops_polyx
 from ..ops import qualcut as ops_qualcut
 from ..ops import stats as ops_stats
-from ..ops.common import align
+from ..ops.common import align, align_static
 from .blob import BlobCall
 
 
@@ -77,12 +77,18 @@ def pe_pipeline(
     # 4. trimAndCut per side (peprocessor.cpp:292-293)
     tc1 = ops_qualcut.trim_and_cut(seq1, qual1, lens1, p.front, p.tail, p)
     tc2 = ops_qualcut.trim_and_cut(seq2, qual2, lens2, p2.front, p2.tail, p2)
-    if p.front > 0 or p.cut_front:
+    if p.cut_front:
         seq1 = align(seq1, tc1.front)
         qual1 = align(qual1, tc1.front)
-    if p2.front > 0 or p2.cut_front:
+    elif p.front > 0:  # static force trim: slice+pad, no gather
+        seq1 = align_static(seq1, p.front)
+        qual1 = align_static(qual1, p.front)
+    if p2.cut_front:
         seq2 = align(seq2, tc2.front)
         qual2 = align(qual2, tc2.front)
+    elif p2.front > 0:
+        seq2 = align_static(seq2, p2.front)
+        qual2 = align_static(qual2, p2.front)
     rlen1, rlen2 = tc1.rlen, tc2.rlen
     drop1, drop2 = tc1.dropped, tc2.dropped
     both = ~drop1 & ~drop2
@@ -255,3 +261,18 @@ def pe_pipeline(
 se_static = ("p", "p2", "adapter_r1", "adapter_r2", "use_start0", "with_kmer",
              "discard_unmerged")
 pe_pipeline_call = BlobCall(pe_pipeline.__wrapped__, se_static)
+
+
+def _pe_pipeline_packed(enc1, lens1, enc2, lens2, start1, start2, keep, real,
+                        **kw):
+    """Packed-transport variant: each side's seq+qual ride in one uint8
+    matrix (ops/packed.py), halving the host->device payload."""
+    from ..ops.packed import decode_device
+
+    seq1, qual1 = decode_device(enc1)
+    seq2, qual2 = decode_device(enc2)
+    return pe_pipeline.__wrapped__(seq1, qual1, lens1, seq2, qual2, lens2,
+                                   start1, start2, keep, real, **kw)
+
+
+pe_packed_call = BlobCall(_pe_pipeline_packed, se_static)

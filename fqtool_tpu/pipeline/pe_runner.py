@@ -26,7 +26,7 @@ from ..io.fastq import (AsyncWriter, ReadPack, format_record,
                         iter_packs_paired, prefetch_iter)
 from ..ops.filters import FAILED_TYPES, PASS_FILTER
 from ..io.fastq import format_array_records
-from .pe import pe_pipeline_call
+from .pe import pe_packed_call, pe_pipeline_call
 from .runner import (SplitWriter, _TAG_BUF, _TAG_LEN, _TAG_OFF, chunk_rows,
                      index_filter_matches, loginfo, maybe_enable_sharding,
                      pad_rows)
@@ -135,7 +135,7 @@ class PairEndRunner:
         if mh is not None:
             self._run_mh(mh)
             return
-        maybe_enable_sharding(pe_pipeline_call)
+        maybe_enable_sharding(pe_pipeline_call, pe_packed_call)
         split = SplitWriter(opt, paired=True) if opt.split.enabled else None
         w_out1 = (AsyncWriter(opt.out1, opt.compression)
                   if opt.out1 and not opt.split.enabled else None)
@@ -198,7 +198,7 @@ class PairEndRunner:
         from ..config.options import OptionError
         if opt.split.enabled:
             raise OptionError("split output is not supported in multi-host runs")
-        maybe_enable_sharding(pe_pipeline_call)
+        maybe_enable_sharding(pe_pipeline_call, pe_packed_call)
         streams = [("out1", opt.out1 if opt.out1 and opt.out2 else None),
                    ("out2", opt.out2 if opt.out1 and opt.out2 else None),
                    ("unpaired1", opt.unpaired1),
@@ -282,24 +282,34 @@ class PairEndRunner:
             real = np.zeros(rows, bool)
             real[:n] = True
             with stage("pe_dispatch"):
-                pending.append((lo, n, pe_pipeline_call(
-                    pad_rows(pack1.seq[lo:hi], rows),
-                    pad_rows(pack1.qual[lo:hi], rows),
-                    pad_rows(pack1.lens[lo:hi], rows),
-                    pad_rows(pack2.seq[lo:hi], rows),
-                    pad_rows(pack2.qual[lo:hi], rows),
-                    pad_rows(pack2.lens[lo:hi], rows),
-                    pad_rows(start1[lo:hi], rows),
-                    pad_rows(start2[lo:hi], rows),
-                    pad_rows(keep[lo:hi], rows),
-                    real,
-                    p=self.p1, p2=self.p2,
-                    adapter_r1=self.adapter_r1,
-                    adapter_r2=self.adapter_r2,
-                    use_start0=bool(opt.umi.enabled),
-                    with_kmer=bool(opt.kmer.enabled),
-                    discard_unmerged=bool(opt.merge_pe.discard_unmerged),
-                )))
+                seq1 = pad_rows(pack1.seq[lo:hi], rows)
+                qual1 = pad_rows(pack1.qual[lo:hi], rows)
+                seq2 = pad_rows(pack2.seq[lo:hi], rows)
+                qual2 = pad_rows(pack2.qual[lo:hi], rows)
+                lens1 = pad_rows(pack1.lens[lo:hi], rows)
+                lens2 = pad_rows(pack2.lens[lo:hi], rows)
+                rest = (pad_rows(start1[lo:hi], rows),
+                        pad_rows(start2[lo:hi], rows),
+                        pad_rows(keep[lo:hi], rows),
+                        real)
+                kw = dict(p=self.p1, p2=self.p2,
+                          adapter_r1=self.adapter_r1,
+                          adapter_r2=self.adapter_r2,
+                          use_start0=bool(opt.umi.enabled),
+                          with_kmer=bool(opt.kmer.enabled),
+                          discard_unmerged=bool(opt.merge_pe.discard_unmerged))
+                # packed transport (ops/packed.py) halves upload bytes; a win
+                # only on slow host->device links, so opt-in (see runner.py)
+                from ..ops.packed import encode_host
+                packed = os.environ.get("FQTOOL_TPU_PACKED") == "1"
+                enc1 = encode_host(seq1, qual1) if packed else None
+                enc2 = encode_host(seq2, qual2) if enc1 is not None else None
+                if enc2 is not None:
+                    call = pe_packed_call(enc1, lens1, enc2, lens2, *rest, **kw)
+                else:
+                    call = pe_pipeline_call(seq1, qual1, lens1, seq2, qual2,
+                                            lens2, *rest, **kw)
+                pending.append((lo, n, call))
             lo = hi
         for lo, n, call in pending:
             with stage("pe_device_wait"):
@@ -387,7 +397,8 @@ class PairEndRunner:
         if "isize" in out:
             isz = np.asarray(out["isize"])[:n]
             vmask = np.asarray(out["isize_valid"])[:n] & kchunk
-            np.add.at(self.insert_hist, isz[vmask], 1)
+            self.insert_hist += np.bincount(
+                isz[vmask], minlength=len(self.insert_hist))
 
         # correction counters -----------------------------------------
         if "correction_matrix" in out:

@@ -29,7 +29,8 @@ from ..host.umi import process_umi
 from ..io.fastq import (AsyncWriter, OutputWriter, ReadPack, format_selected,
                         iter_packs, prefetch_iter)
 from ..ops.filters import FAILED_TYPES
-from .se import se_pipeline, se_pipeline_call
+from ..ops.packed import encode_host
+from .se import se_packed_call, se_pipeline, se_pipeline_call
 
 # tag catalog for failed-stream suffixes: one buffer + per-code offsets
 _TAG_BUF = b"".join(t.encode() for t in FAILED_TYPES)
@@ -243,7 +244,7 @@ class SingleEndRunner:
         if mh is not None:
             self._run_mh(mh)
             return
-        maybe_enable_sharding(se_pipeline_call)
+        maybe_enable_sharding(se_pipeline_call, se_packed_call)
         split = SplitWriter(opt, paired=False) if opt.split.enabled else None
         out_writer = (AsyncWriter(opt.out1, opt.compression)
                       if opt.out1 and not opt.split.enabled else None)
@@ -295,7 +296,7 @@ class SingleEndRunner:
         from ..config.options import OptionError
         if opt.split.enabled:
             raise OptionError("split output is not supported in multi-host runs")
-        maybe_enable_sharding(se_pipeline_call)
+        maybe_enable_sharding(se_pipeline_call, se_packed_call)
         writers = {}
         if opt.out1:
             writers["out1"] = mh.part_writer(opt.out1)
@@ -386,18 +387,26 @@ class SingleEndRunner:
             n = hi - lo
             real = np.zeros(rows, bool)
             real[:n] = True
-            pending.append((n, se_pipeline_call(
-                pad_rows(pack.seq[lo:hi], rows),
-                pad_rows(pack.qual[lo:hi], rows),
-                pad_rows(pack.lens[lo:hi], rows),
-                pad_rows(start0[lo:hi], rows),
-                pad_rows(keep[lo:hi], rows),
-                real,
-                p=self.params,
-                adapter_r1=self.adapter_r1,
-                use_start0=bool(opt.umi.enabled),
-                with_kmer=bool(opt.kmer.enabled),
-            )))
+            seq = pad_rows(pack.seq[lo:hi], rows)
+            qual = pad_rows(pack.qual[lo:hi], rows)
+            rest = (pad_rows(pack.lens[lo:hi], rows),
+                    pad_rows(start0[lo:hi], rows),
+                    pad_rows(keep[lo:hi], rows),
+                    real)
+            kw = dict(p=self.params,
+                      adapter_r1=self.adapter_r1,
+                      use_start0=bool(opt.umi.enabled),
+                      with_kmer=bool(opt.kmer.enabled))
+            # packed transport (ops/packed.py) halves upload bytes -- a win
+            # only when the host->device link is slow (WAN-tunneled chips),
+            # so it is opt-in: the local encode pass costs more than the
+            # saved transfer on fast links
+            enc = (encode_host(seq, qual)
+                   if os.environ.get("FQTOOL_TPU_PACKED") == "1" else None)
+            if enc is not None:
+                pending.append((n, se_packed_call(enc, *rest, **kw)))
+            else:
+                pending.append((n, se_pipeline_call(seq, qual, *rest, **kw)))
             lo = hi
         return pack, start0, keep, pending
 

@@ -26,7 +26,7 @@ from ..ops import filters as ops_filters
 from ..ops import polyx as ops_polyx
 from ..ops import qualcut as ops_qualcut
 from ..ops import stats as ops_stats
-from ..ops.common import align
+from ..ops.common import align, align_static
 from .blob import BlobCall
 
 
@@ -81,10 +81,14 @@ def se_pipeline(
 
     # 4. force trims + quality cuts (seprocessor.cpp:313)
     tc = ops_qualcut.trim_and_cut(seq, qual, lens, p.front, p.tail, p)
-    front_may_move = p.front > 0 or p.cut_front
-    if front_may_move:
+    if p.cut_front:
         seq = align(seq, tc.front)
         qual = align(qual, tc.front)
+    elif p.front > 0:
+        # without the quality front-cut the offset is the static force trim:
+        # a slice+pad beats the per-row gather by ~100x at full chunk width
+        seq = align_static(seq, p.front)
+        qual = align_static(qual, p.front)
     rlen = tc.rlen
     dropped = tc.dropped
 
@@ -142,4 +146,18 @@ def se_pipeline(
 # transfers per chunk instead of one per output array)
 se_pipeline_call = BlobCall(
     se_pipeline.__wrapped__,
+    ("p", "adapter_r1", "use_start0", "with_kmer"))
+
+
+def _se_pipeline_packed(enc, lens, start0, keep, real, **kw):
+    """Packed-transport variant: ``enc`` carries seq+qual in one uint8 matrix
+    (ops/packed.py), halving the host->device payload."""
+    from ..ops.packed import decode_device
+
+    seq, qual = decode_device(enc)
+    return se_pipeline.__wrapped__(seq, qual, lens, start0, keep, real, **kw)
+
+
+se_packed_call = BlobCall(
+    _se_pipeline_packed,
     ("p", "adapter_r1", "use_start0", "with_kmer"))
