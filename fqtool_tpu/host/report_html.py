@@ -66,18 +66,30 @@ def _section(title: str, div_id: str, body: str) -> str:
             f"<div id='{div_id}'>{body}</div></div>")
 
 
+def _g(v) -> str:
+    """C++ ``ostream << double`` formatting (6 significant digits, %g) --
+    the reference serializes every curve value this way
+    (stats.h:214-224 list2string)."""
+    return f"{float(v):.6g}"
+
+
 def _curves_plot(div: str, x: List[int], series: List[tuple], yaxis: str,
-                 long_read: bool, extra_layout: str = "") -> str:
+                 long_read: bool, cycles: int, y_extra: str = "") -> str:
+    """reference: src/stats.cpp:669-693 (quality) / 795-808 (content):
+    traces as {x, y, name, mode, line}, xaxis nticks = cycles/5, yaxis
+    nticks = 20."""
     traces = []
     for name, ys, color in series:
-        ys_str = ",".join(f"{v:.6f}".rstrip("0").rstrip(".") if v else "0" for v in ys)
+        ys_str = ",".join(_g(v) for v in ys)
         traces.append(
             "{x:[" + ",".join(map(str, x)) + "],y:[" + ys_str + "],"
             f"name:'{name}',mode:'lines',line:{{color:'{color}',width:1}}}}")
     logx = ",type:'log'" if long_read else ""
     return ("<script type='text/javascript'>var data=[" + ",".join(traces) + "];"
-            "var layout={title:'',xaxis:{title:'position'" + logx + "},"
-            "yaxis:{title:'" + yaxis + "'" + extra_layout + "}};"
+            "var layout={title:'',xaxis:{title:'position'"
+            f", tickmode: 'auto', nticks: '{cycles // 5}'" + logx + "},"
+            "yaxis:{title:'" + yaxis + "', tickmode: 'auto', nticks: '20'"
+            + y_extra + "}};"
             f"Plotly.newPlot('{div}', data, layout);</script>")
 
 
@@ -118,7 +130,8 @@ def _stats_sections(st: StatsAccumulator, filtering: str, read_name: str) -> str
         f"<a title='click to hide/show' onclick=\"showOrHide('{div}')\">{_esc(sub)}</a></div>"
         f"<div id='{div}'><div class='sub_section_tips'>Value of each position will be shown on mouse over</div>"
         f"<div class='figure' id='plot_{div}'></div></div>"
-        + _curves_plot(f"plot_{div}", xs, series, "quality", long_read) + "</div>")
+        + _curves_plot(f"plot_{div}", xs, series, "quality", long_read, cycles)
+        + "</div>")
 
     # content curves
     sub = f"{filtering}: {read_name}: base contents"
@@ -140,7 +153,7 @@ def _stats_sections(st: StatsAccumulator, filtering: str, read_name: str) -> str
         f"<div id='{div}'><div class='sub_section_tips'>Value of each position will be shown on mouse over</div>"
         f"<div class='figure' id='plot_{div}'></div></div>"
         + _curves_plot(f"plot_{div}", xs, series, "base content ratios", long_read,
-                       ", range:['0.0','1.0']") + "</div>")
+                       cycles, ", range: ['0.0', '1.0']") + "</div>")
 
     # kmer table (stats.cpp:550-629)
     if st.kmer_len:
@@ -207,7 +220,9 @@ def _ora_section(st: StatsAccumulator, filtering: str, read_name: str) -> str:
         rows.append(
             f"<tr><td width='400' style='word-break:break-all;font-size:8px;'>{seq}</td>"
             f"<td width='200'>{count}({percent:.6f}%)</td>"
-            f"<td width='250'><canvas id='{div}_{seq}' width='240' height='20'></canvas></td></tr>")
+            # CTML emits attributes in map order (height < width) and no
+            # closing tag for the childless canvas node (ctml.hpp ToString)
+            f'<td width=\'250\'><canvas id="{div}_{seq}" height="20" width="240"></td></tr>')
         dist = ",".join(str(int(v)) for v in st.over_rep_dist[seq][: st.evaluated_seq_len])
         js_entries.append(f'"{div}_{seq}":[{dist}]')
     if found == 0:
@@ -239,11 +254,13 @@ def _duplication_section(opt: Options, dup_hist, dup_mean_gc, dup_rate: float) -
     for i in range(total):
         if percents[i] <= 0.05 and max_gc == total:
             max_gc = i
+    # curve values serialize via list2string (ostream %g), the rate via
+    # std::to_string (%f) -- htmlreporter.cpp:276-292
     js = ("<script type='text/javascript'>var data=[{x:[" + ",".join(map(str, xs)) + "],"
-          "y:[" + ",".join(f"{p:.6f}" for p in percents) + "],name:'Read percent (%)  ',"
+          "y:[" + ",".join(_g(p) for p in percents) + "],name:'Read percent (%)  ',"
           "type:'bar',line:{color:'rgba(128,0,128,1.0)',width:1}},"
           "{x:[" + ",".join(map(str, xs[:max_gc])) + "],"
-          "y:[" + ",".join(f"{g:.6f}" for g in gc[:max_gc]) + "],name:'Mean GC ratio (%)  ',"
+          "y:[" + ",".join(_g(g) for g in gc[:max_gc]) + "],name:'Mean GC ratio (%)  ',"
           "mode:'lines',line:{color:'rgba(255,0,128,1.0)',width:2}}];"
           f"var layout={{title:'duplication rate ({dup_rate*100.0:.6f}%)',"
           "xaxis:{title:'duplication level'},yaxis:{title:'Read percent (%) & GC ratio'}};"
@@ -299,38 +316,46 @@ def write_report(opt: Options, fresult: FilterResultAccumulator,
     pre_table = qc_table(pre_reads, pre_bases, pre_q20, pre_q30, pre_gc,
                          pre1.get_mean_length(), pre2.get_mean_length() if pre2 else 0)
     if opt.adapter.enable_trimming:
+        # rate = count / preTotalReads, then DOUBLED when paired
+        # (htmlreporter.cpp:197,205: `readWithAdapter * 1.0 / preTotalReads * 2`)
+        mult = 2 if paired else 1
         rwa = sum(fresult.adapter1_count.values())
-        denom = pre_reads * 2 if paired else pre_reads
-        pre_table.append(_row("Read1 Adapters Left", f"{rwa}({_pct(rwa, denom)}%)"))
+        pre_table.append(_row("Read1 Adapters Left",
+                              f"{rwa}({_pct(rwa * mult, pre_reads)}%)"))
         if paired:
             rwa2 = sum(fresult.adapter2_count.values())
-            pre_table.append(_row("Read2 Adapters Left", f"{rwa2}({_pct(rwa2, denom)}%)"))
+            pre_table.append(_row("Read2 Adapters Left",
+                                  f"{rwa2}({_pct(rwa2 * mult, pre_reads)}%)"))
     post_table = qc_table(post_reads, post_bases, post_q20, post_q30, post_gc,
                           post1.get_mean_length(), post2.get_mean_length() if post2 else 0)
 
     fr = fresult
+    # QUIRK: the reference calls reportHtmlBasic(preTotalBases, preTotalReads)
+    # against signature (totalReads, totalBases) -- SWAPPED arguments
+    # (htmlreporter.cpp:231 vs filterresult.cpp:223).  So the rows written
+    # "/totalBases" actually divide by preTotalReads and vice versa.
     filt_rows = [
         _row("Reads Passed Filters",
-             f"{int(fr.filter_read_stats[0])}({_pct(int(fr.filter_read_stats[0]), pre_bases)}%)"),
+             f"{int(fr.filter_read_stats[0])}({_pct(int(fr.filter_read_stats[0]), pre_reads)}%)"),
         _row("Low Quality Reads",
-             f"{int(fr.filter_read_stats[20])}({_pct(int(fr.filter_read_stats[20]), pre_bases)}%)"),
+             f"{int(fr.filter_read_stats[20])}({_pct(int(fr.filter_read_stats[20]), pre_reads)}%)"),
         _row("Too Many N Reads",
-             f"{int(fr.filter_read_stats[12])}({_pct(int(fr.filter_read_stats[12]), pre_bases)}%)"),
+             f"{int(fr.filter_read_stats[12])}({_pct(int(fr.filter_read_stats[12]), pre_reads)}%)"),
     ]
     if opt.correction.enabled:
         filt_rows.append(_row("Corrected Reads",
-                              f"{fr.corrected_reads}({_pct(fr.corrected_reads, pre_reads)}%)"))
+                              f"{fr.corrected_reads}({_pct(fr.corrected_reads, pre_bases)}%)"))
         filt_rows.append(_row("Corrected Bases",
-                              f"{fr.total_corrected_bases}({_pct(fr.total_corrected_bases, pre_bases)}%)"))
+                              f"{fr.total_corrected_bases}({_pct(fr.total_corrected_bases, pre_reads)}%)"))
     if opt.complexity_filter.enabled:
         filt_rows.append(_row("Low Complexity Reads",
-                              f"{int(fr.filter_read_stats[24])}({_pct(int(fr.filter_read_stats[24]), pre_reads)}%)"))
+                              f"{int(fr.filter_read_stats[24])}({_pct(int(fr.filter_read_stats[24]), pre_bases)}%)"))
     if opt.length_filter.enabled:
         filt_rows.append(_row("Too Short Reads",
-                              f"{int(fr.filter_read_stats[16])}({_pct(int(fr.filter_read_stats[16]), pre_reads)}%)"))
+                              f"{int(fr.filter_read_stats[16])}({_pct(int(fr.filter_read_stats[16]), pre_bases)}%)"))
         if opt.length_filter.max_read_length > 0:
             filt_rows.append(_row("Too Long Reads",
-                                  f"{int(fr.filter_read_stats[17])}({_pct(int(fr.filter_read_stats[17]), pre_reads)}%)"))
+                                  f"{int(fr.filter_read_stats[17])}({_pct(int(fr.filter_read_stats[17]), pre_bases)}%)"))
 
     summary_body = (
         "<div class='subsection_title' onclick=\"showOrHide('general')\">General</div>"
@@ -390,7 +415,10 @@ def _adapters_section(opt: Options, fr: FilterResultAccumulator) -> str:
         if total == 0:
             return "<table class='summary_table'>" + "".join(rows) + "</table>"
         reported = 0
-        for seq, cnt in counts.items():
+        # lexicographic order: the reference iterates a std::map<string>
+        # (filterresult.cpp:268-296)
+        for seq in sorted(counts):
+            cnt = counts[seq]
             if cnt / total < opt.adapter.report_threshold:
                 continue
             rows.append(f"<tr><td class='adapter_col'>{seq}</td>"
