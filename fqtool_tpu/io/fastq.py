@@ -176,7 +176,11 @@ class SkippedPack:
 
 
 class _RawStream:
-    """Chunked reader over a possibly-gzipped (multi-member) file."""
+    """Chunked reader over a possibly-gzipped (multi-member) file.
+
+    Decompression goes through the native zlib codec (native/fastq_core.cpp
+    gz_inflate, GIL-released and callable from IO worker threads) with the
+    Python zlib object as fallback."""
 
     def __init__(self, path: str):
         self.path = path
@@ -187,12 +191,35 @@ class _RawStream:
             self._fh = open(path, "rb", buffering=1 << 20)
             self._close = True
         self._gz = path.endswith(".gz")
-        self._z = zlib.decompressobj(wbits=47) if self._gz else None
+        self._inf = native.make_inflater() if self._gz else None
+        self._z = (zlib.decompressobj(wbits=47)
+                   if self._gz and self._inf is None else None)
         self._raw_eof = False
+
+    def _read_native(self) -> bytes:
+        out = []
+        total = 0
+        while total < _READ_CHUNK:
+            if self._inf.has_pending:
+                d = self._inf.inflate(b"", _READ_CHUNK - total)
+            else:
+                raw = self._fh.read(1 << 20)
+                if not raw:
+                    self._raw_eof = True
+                    break
+                d = self._inf.inflate(raw, _READ_CHUNK - total)
+            if d:
+                out.append(d)
+                total += len(d)
+            elif not self._inf.has_pending and self._raw_eof:
+                break
+        return b"".join(out)
 
     def read_chunk(self) -> bytes:
         if not self._gz:
             return self._fh.read(_READ_CHUNK)
+        if self._inf is not None:
+            return self._read_native()
         out = []
         total = 0
         while total < _READ_CHUNK:
@@ -394,9 +421,22 @@ def iter_packs_paired(path1: str, path2: str, interleaved: bool = False,
 
     rd1 = PackReader(path1, pack_reads, phred64, width_multiple)
     rd2 = PackReader(path2, pack_reads, phred64, width_multiple)
+
+    # one decode thread per side: R1 and R2 gzip inflation + tokenization run
+    # in parallel (zlib releases the GIL) instead of serially in one thread
+    def packs_of(rd):
+        def gen():
+            while True:
+                p = rd.next_pack()
+                if p is None:
+                    return
+                yield p
+        return prefetch_iter(gen(), depth=2)
+
+    it1, it2 = packs_of(rd1), packs_of(rd2)
     while True:
-        p1 = rd1.next_pack()
-        p2 = rd2.next_pack()
+        p1 = next(it1, None)
+        p2 = next(it2, None)
         if p1 is None or p2 is None:
             return
         n = min(p1.count, p2.count)
@@ -430,8 +470,10 @@ class OutputWriter:
         os.makedirs(d, exist_ok=True)
         self._fh = open(path, "wb", buffering=1 << 20)
         if self._gz:
+            # native zlib codec (byte-identical stream), Python zlib fallback;
             # wbits=31 => gzip container, streamed
-            self._comp = zlib.compressobj(compression, zlib.DEFLATED, 31)
+            self._comp = (native.make_deflater(compression)
+                          or zlib.compressobj(compression, zlib.DEFLATED, 31))
         else:
             self._comp = None
 

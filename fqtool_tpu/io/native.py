@@ -35,7 +35,7 @@ _u8p = ctypes.POINTER(ctypes.c_uint8)
 def _build() -> bool:
     try:
         cmd = ["g++", "-std=c++17", "-O3", "-shared", "-fPIC",
-               "-o", _LIB, _SRC]
+               "-o", _LIB, _SRC, "-lz"]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
     except Exception as e:  # pragma: no cover - toolchain issues
@@ -80,8 +80,122 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _i32p, _i32p,
             ctypes.c_char_p, _i64p, _i32p,
             ctypes.c_char_p]
+        lib.gz_inflate_new.restype = ctypes.c_void_p
+        lib.gz_inflate_new.argtypes = []
+        lib.gz_inflate.restype = ctypes.c_int64
+        lib.gz_inflate.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                   ctypes.c_int64, _u8p, ctypes.c_int64,
+                                   _i64p, _i32p]
+        lib.gz_inflate_free.restype = None
+        lib.gz_inflate_free.argtypes = [ctypes.c_void_p]
+        lib.gz_deflate_new.restype = ctypes.c_void_p
+        lib.gz_deflate_new.argtypes = [ctypes.c_int32]
+        lib.gz_deflate_bound.restype = ctypes.c_int64
+        lib.gz_deflate_bound.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.gz_deflate.restype = ctypes.c_int64
+        lib.gz_deflate.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                   ctypes.c_int64, _u8p, ctypes.c_int64,
+                                   ctypes.c_int32, _i64p, _i32p]
+        lib.gz_deflate_free.restype = None
+        lib.gz_deflate_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
+
+
+class Inflater:
+    """Streaming multi-member gzip inflater over the native codec; mirrors
+    the zlib.decompressobj(wbits=47) + reset-on-member-end fallback."""
+
+    def __init__(self, lib):
+        self._lib = lib
+        self._ctx = lib.gz_inflate_new()
+        if not self._ctx:
+            raise MemoryError("gz_inflate_new failed")
+        self._pending = b""
+
+    def inflate(self, data: bytes, out_cap: int) -> bytes:
+        """Decompress up to ``out_cap`` bytes from pending + ``data``;
+        unconsumed input is carried to the next call."""
+        if self._pending:
+            data = self._pending + data
+            self._pending = b""
+        out = np.empty(out_cap, np.uint8)
+        used = np.zeros(1, np.int64)
+        state = np.zeros(1, np.int32)
+        n = self._lib.gz_inflate(self._ctx, data, len(data),
+                                 _ptr(out, _u8p), out_cap,
+                                 _ptr(used, _i64p), _ptr(state, _i32p))
+        if state[0] < 0:
+            raise RuntimeError("corrupt gzip stream")
+        if used[0] < len(data):
+            self._pending = data[int(used[0]):]
+        return out[:n].tobytes()
+
+    @property
+    def has_pending(self) -> bool:
+        return bool(self._pending)
+
+    def close(self) -> None:
+        if self._ctx:
+            self._lib.gz_inflate_free(self._ctx)
+            self._ctx = None
+
+    def __del__(self):  # pragma: no cover
+        self.close()
+
+
+class Deflater:
+    """Streaming gzip compressor over the native codec; byte-identical
+    output to zlib.compressobj(level, DEFLATED, 31)."""
+
+    def __init__(self, lib, level: int):
+        self._lib = lib
+        self._ctx = lib.gz_deflate_new(level)
+        if not self._ctx:
+            raise MemoryError("gz_deflate_new failed")
+
+    def _run(self, data: bytes, flush: int) -> bytes:
+        cap = max(int(self._lib.gz_deflate_bound(self._ctx, len(data))), 1 << 16)
+        parts = []
+        done = np.zeros(1, np.int32)
+        used = np.zeros(1, np.int64)
+        while True:
+            out = np.empty(cap, np.uint8)
+            n = self._lib.gz_deflate(self._ctx, data, len(data),
+                                     _ptr(out, _u8p), cap, flush,
+                                     _ptr(used, _i64p), _ptr(done, _i32p))
+            if n < 0:
+                raise RuntimeError("deflate failed")
+            parts.append(out[:n].tobytes())
+            if done[0]:
+                return b"".join(parts)
+            data = data[int(used[0]):]  # resume with the unconsumed tail
+
+    def compress(self, data: bytes) -> bytes:
+        return self._run(data, 0)
+
+    def flush(self, _mode=None) -> bytes:
+        """Finish the stream (argument accepted for zlib.compressobj
+        signature compatibility; always Z_FINISH)."""
+        out = self._run(b"", 4)
+        self._lib.gz_deflate_free(self._ctx)
+        self._ctx = None
+        return out
+
+    def __del__(self):  # pragma: no cover
+        if getattr(self, "_ctx", None):
+            self._lib.gz_deflate_free(self._ctx)
+            self._ctx = None
+
+
+def make_inflater() -> Optional[Inflater]:
+    lib = get_lib()
+    return Inflater(lib) if lib is not None else None
+
+
+def make_deflater(level: int) -> Optional[Deflater]:
+    lib = get_lib()
+    return Deflater(lib, level) if lib is not None else None
 
 
 def _ptr(a: np.ndarray, ctype):

@@ -8,13 +8,123 @@
 // loops (reference: src/fqreader.cpp:90-195, src/read.h:166-176) as a
 // zero-copy batch transform.
 //
-// Build: g++ -O3 -march=native -shared -fPIC -o libfastq_core.so fastq_core.cpp
+// It also carries the native gzip codec (zlib streaming inflate/deflate)
+// replacing the reference's gzread/gzwrite paths (reference:
+// src/fqreader.cpp:28-49, src/writer.cpp:37-41): byte-identical output to
+// the Python zlib fallback (same libz), callable from IO worker threads
+// without the interpreter.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libfastq_core.so fastq_core.cpp -lz
 // Exposed via ctypes (extern "C"), no Python.h dependency.
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 
+#include <zlib.h>
+
 extern "C" {
+
+// ---------------------------------------------------------------------------
+// gzip codec
+// ---------------------------------------------------------------------------
+
+// Streaming multi-member gzip inflater (wbits 47 = zlib|gzip autodetect).
+void* gz_inflate_new() {
+    z_stream* zs = (z_stream*)calloc(1, sizeof(z_stream));
+    if (inflateInit2(zs, 47) != Z_OK) { free(zs); return nullptr; }
+    return zs;
+}
+
+// Inflate as much of in[0..in_len) as fits into out[0..out_cap).
+// Concatenated gzip members are handled transparently (inflateReset at each
+// member boundary, like the multi-member Python fallback).  Returns bytes
+// written, sets *in_used; *state = 0 ok, 1 clean end-of-stream with all
+// input consumed, -1 corrupt stream.
+int64_t gz_inflate(void* ctx, const uint8_t* in, int64_t in_len,
+                   uint8_t* out, int64_t out_cap,
+                   int64_t* in_used, int32_t* state) {
+    z_stream* zs = (z_stream*)ctx;
+    zs->next_in = (Bytef*)in;
+    zs->avail_in = (uInt)in_len;
+    zs->next_out = out;
+    zs->avail_out = (uInt)out_cap;
+    *state = 0;
+    while (zs->avail_out > 0) {
+        int rc = inflate(zs, Z_NO_FLUSH);
+        if (rc == Z_STREAM_END) {
+            if (zs->avail_in > 0) {
+                if (inflateReset(zs) != Z_OK) { *state = -1; break; }
+                continue;  // next gzip member
+            }
+            *state = 1;
+            break;
+        }
+        if (rc == Z_OK || rc == Z_BUF_ERROR) {
+            if (zs->avail_in == 0) break;  // need more input
+            if (rc == Z_BUF_ERROR && zs->avail_out == 0) break;
+            if (rc == Z_BUF_ERROR) { *state = -1; break; }
+            continue;
+        }
+        *state = -1;
+        break;
+    }
+    *in_used = in_len - (int64_t)zs->avail_in;
+    return out_cap - (int64_t)zs->avail_out;
+}
+
+void gz_inflate_free(void* ctx) {
+    z_stream* zs = (z_stream*)ctx;
+    inflateEnd(zs);
+    free(zs);
+}
+
+// Streaming gzip deflater (wbits 31 = gzip container, default header:
+// mtime 0 -- byte-identical to Python's zlib.compressobj(level, ..., 31)).
+void* gz_deflate_new(int32_t level) {
+    z_stream* zs = (z_stream*)calloc(1, sizeof(z_stream));
+    if (deflateInit2(zs, level, Z_DEFLATED, 31, 8, Z_DEFAULT_STRATEGY) != Z_OK) {
+        free(zs);
+        return nullptr;
+    }
+    return zs;
+}
+
+int64_t gz_deflate_bound(void* ctx, int64_t in_len) {
+    return (int64_t)deflateBound((z_stream*)ctx, (uLong)in_len) + 64;
+}
+
+// flush: 0 = Z_NO_FLUSH, 4 = Z_FINISH.  Returns bytes written; *done = 1
+// when this step is complete (input fully consumed, and for Z_FINISH the
+// trailer emitted).  On *done = 0 the caller must call again with empty
+// input and a fresh buffer (the stream keeps its position -- resumable).
+// Returns -1 only on a hard zlib error.
+int64_t gz_deflate(void* ctx, const uint8_t* in, int64_t in_len,
+                   uint8_t* out, int64_t out_cap, int32_t flush,
+                   int64_t* in_used, int32_t* done) {
+    z_stream* zs = (z_stream*)ctx;
+    zs->next_in = (Bytef*)in;
+    zs->avail_in = (uInt)in_len;
+    zs->next_out = out;
+    zs->avail_out = (uInt)out_cap;
+    *done = 0;
+    for (;;) {
+        int rc = deflate(zs, flush == 4 ? Z_FINISH : Z_NO_FLUSH);
+        if (rc == Z_STREAM_END) { *done = 1; break; }
+        if (rc != Z_OK && rc != Z_BUF_ERROR) { *in_used = in_len - (int64_t)zs->avail_in; return -1; }
+        if (zs->avail_out == 0) break;  // resumable: caller provides more room
+        if (zs->avail_in == 0 && flush != 4) { *done = 1; break; }
+        if (rc == Z_BUF_ERROR) { *done = 1; break; }  // no progress possible
+    }
+    *in_used = in_len - (int64_t)zs->avail_in;
+    return out_cap - (int64_t)zs->avail_out;
+}
+
+void gz_deflate_free(void* ctx) {
+    z_stream* zs = (z_stream*)ctx;
+    deflateEnd(zs);
+    free(zs);
+}
 
 // Tokenize a FASTQ text buffer into up to max_records records.
 //

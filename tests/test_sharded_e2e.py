@@ -19,10 +19,11 @@ R2 = TESTDATA / "r2.fq.gz"
 def fresh_calls():
     """Reset pipeline-call meshes afterwards so other tests stay single-dev."""
     yield
-    from fqtool_tpu.pipeline.pe import pe_pipeline_call
-    from fqtool_tpu.pipeline.se import se_pipeline_call
-    se_pipeline_call.set_mesh(None)
-    pe_pipeline_call.set_mesh(None)
+    from fqtool_tpu.pipeline.pe import pe_packed_call, pe_pipeline_call
+    from fqtool_tpu.pipeline.se import se_packed_call, se_pipeline_call
+    for call in (se_pipeline_call, pe_pipeline_call, se_packed_call,
+                 pe_packed_call):
+        call.set_mesh(None)
 
 
 def _check(oracle, tmp_path, args, outputs):
@@ -59,3 +60,29 @@ def test_pe_sharded_end_to_end(oracle, tmp_path, monkeypatch, fresh_calls):
            ["-i", str(R1), "-I", str(R2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
             "-q", "-a", "--detect_pe_adapter"],
            ["o1.fq.gz", "o2.fq.gz"])
+
+
+def test_pe_sharded_merge_correction(oracle, tmp_path, monkeypatch, fresh_calls):
+    """Stateful PE paths under sharding: insert-size histogram, correction
+    patches, merged-stream routing."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    monkeypatch.setenv("FQTOOL_TPU_SHARD", "1")
+    _check(oracle, tmp_path,
+           ["-i", str(R1), "-I", str(R2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
+            "-m", "--merge_output", "merged.fq.gz", "-c"],
+           ["o1.fq.gz", "o2.fq.gz", "merged.fq.gz"])
+
+
+def test_se_sharded_umi_dup(oracle, tmp_path, monkeypatch, fresh_calls):
+    """UMI relocation + duplication combiner under sharding (per-read host
+    prep feeding a sharded device pipeline)."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    monkeypatch.setenv("FQTOOL_TPU_SHARD", "1")
+    _check(oracle, tmp_path,
+           ["-i", str(R1), "-o", "out.fq.gz", "-q", "-d", "-u",
+            "--umi_location", "3", "--umi_length", "6"],
+           ["out.fq.gz"])
