@@ -263,13 +263,17 @@ class PairEndRunner:
         merged_count = 0
 
         if not self._rows:
-            # the overlap analysis works over [rows, offsets, L] intermediates
-            # (~L^2 bytes per row); cap the chunk so long-read packs stay
-            # within a ~2 GiB working set
+            # the jnp overlap analysis works over [rows, offsets, L]
+            # intermediates (~L^2 bytes per row); cap the chunk so long-read
+            # packs stay within a ~2 GiB working set.  The fused Pallas
+            # kernel (FQTOOL_TPU_PALLAS=1) holds one tile in VMEM instead,
+            # so full-size chunks stand for any read width.
+            from ..ops import overlap_select
             width = max(pack1.width, pack2.width)
             cap = PE_CHUNK
-            while cap > 256 and cap * width * width > (1 << 31):
-                cap //= 2
+            if not (overlap_select.use_pallas() and overlap_select.probe_pallas()):
+                while cap > 256 and cap * width * width > (1 << 31):
+                    cap //= 2
             self._rows = chunk_rows(B, cap)
         rows = self._rows
         # dispatch every chunk asynchronously, then fold in order: the device
