@@ -35,7 +35,10 @@ class DuplicateTable:
         self.sparse = force_sparse or keylen > _DENSE_KEYLEN_MAX
         n = 1024 if self.sparse else (1 << (2 * keylen))
         self._slots: dict = {} if self.sparse else None
-        self.min_kmer = np.full(n, np.iinfo(np.uint64).max, np.uint64)
+        # all arrays calloc-backed zeros (np.full of 4^keylen entries costs
+        # ~0.4s each at keylen 12); min_kmer/first_pos are only meaningful
+        # where ``seen`` is set, with unseen treated as +inf by the folds
+        self.min_kmer = np.zeros(n, np.uint64)
         self.counts = np.zeros(n, np.uint32)
         self.first_kmer = np.zeros(n, np.uint64)
         self.first_gc = np.zeros(n, np.uint8)
@@ -43,7 +46,7 @@ class DuplicateTable:
         # global stream position of each key's first record: lets tables from
         # different hosts (each holding a strided subset of the stream) merge
         # with the exact first-record-GC rule
-        self.first_pos = np.full(n, np.iinfo(np.int64).max, np.int64)
+        self.first_pos = np.zeros(n, np.int64)
         self._next_pos = 0
 
     def _grow(self, need: int) -> None:
@@ -57,12 +60,12 @@ class DuplicateTable:
             out[:cap] = a
             return out
 
-        self.min_kmer = grow(self.min_kmer, np.iinfo(np.uint64).max)
+        self.min_kmer = grow(self.min_kmer)
         self.counts = grow(self.counts)
         self.first_kmer = grow(self.first_kmer)
         self.first_gc = grow(self.first_gc)
         self.seen = grow(self.seen)
-        self.first_pos = grow(self.first_pos, np.iinfo(np.int64).max)
+        self.first_pos = grow(self.first_pos)
 
     def _to_slots(self, key: np.ndarray) -> np.ndarray:
         """Map raw keys to dense slot indices (sparse mode), preserving order."""
@@ -102,27 +105,37 @@ class DuplicateTable:
             kmer_lo[valid].astype(np.uint64)
         gc = gc[valid]
 
-        # first record per key within this batch (stable first occurrence)
-        uniq, first_idx = np.unique(key, return_index=True)
+        # group batch records by key with one stable sort; all per-group
+        # folds are C-speed reduceats over the batch (never O(table size) --
+        # a full-table scratch array costs ~0.5s/batch at keylen 12)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        kmers = kmer[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        uniq = ks[starts]
+        first_in_batch = order[starts]  # stable sort => earliest occurrence
+
         newly = ~self.seen[uniq]
         new_keys = uniq[newly]
-        self.first_kmer[new_keys] = kmer[first_idx[newly]]
-        self.first_gc[new_keys] = gc[first_idx[newly]]
-        self.first_pos[new_keys] = pos[first_idx[newly]]
+        self.first_kmer[new_keys] = kmer[first_in_batch[newly]]
+        self.first_gc[new_keys] = gc[first_in_batch[newly]]
+        self.first_pos[new_keys] = pos[first_in_batch[newly]]
         self.seen[new_keys] = True
 
         # batch minimum per key, then merge with the running minimum
-        batch_min = np.full_like(self.min_kmer, np.iinfo(np.uint64).max)
-        np.minimum.at(batch_min, key, kmer)
-        affected = uniq
-        old_min = self.min_kmer[affected]
-        new_min = np.minimum(old_min, batch_min[affected])
+        # (unseen-before keys read as +inf: table slots are zero-initialized)
+        batch_min = np.minimum.reduceat(kmers, starts)
+        old_min = np.where(newly, np.iinfo(np.uint64).max,
+                           self.min_kmer[uniq])
+        new_min = np.minimum(old_min, batch_min)
         # a strictly smaller minimum resets the count (duplicate.cpp:55-58)
-        self.counts[affected] = np.where(new_min < old_min, 0, self.counts[affected])
-        self.min_kmer[affected] = new_min
+        self.counts[uniq] = np.where(new_min < old_min, 0, self.counts[uniq])
+        self.min_kmer[uniq] = new_min
         # count batch records equal to the (possibly new) minimum
-        eq_min = kmer == self.min_kmer[key]
-        np.add.at(self.counts, key[eq_min], 1)
+        sizes = np.diff(np.r_[starts, len(ks)])
+        eq_sorted = kmers == np.repeat(new_min, sizes)
+        self.counts[uniq] += np.add.reduceat(
+            eq_sorted.astype(np.uint32), starts)
 
     # -- cross-host reduction ------------------------------------------
     def payload(self) -> dict:
@@ -154,7 +167,8 @@ class DuplicateTable:
         slot = self._to_slots(key) if self.sparse else key
         o_min = pl["min_kmer"]
         o_cnt = pl["counts"]
-        s_min = self.min_kmer[slot]
+        s_min = np.where(self.seen[slot], self.min_kmer[slot],
+                         np.iinfo(np.uint64).max)
         s_cnt = self.counts[slot]
         self.counts[slot] = np.where(
             s_min == o_min, s_cnt + o_cnt,

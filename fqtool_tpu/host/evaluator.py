@@ -242,8 +242,20 @@ def compute_over_rep_seq(filename: str) -> Dict[str, int]:
     lens = np.fromiter((len(s) for s in seqs), count=len(seqs), dtype=np.int64)
     starts = np.zeros(len(seqs), np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    read_of_pos = np.repeat(np.arange(len(seqs)), lens)
 
+    # native scan: rolling hashes + sort in C (fastq_core.cpp fq_ors_scan),
+    # ~0.5s for the 1.5 Mb prefix vs ~15s for the numpy path on 1 vCPU
+    from ..io import native
+    if native.get_lib() is not None:
+        hot = {}
+        for step in steps:
+            got = native.ors_scan(flat, starts, lens, step, _ors_threshold(step))
+            for p, c in zip(*got):
+                s = flat[int(p) : int(p) + step].tobytes().decode("latin-1")
+                hot[s] = int(c)
+        return _filter_substrings(hot)
+
+    read_of_pos = np.repeat(np.arange(len(seqs)), lens)
     ctx = _hash_ctx(flat)
     hot: Dict[str, int] = {}
     for step in steps:
@@ -281,6 +293,8 @@ def _filter_substrings(hot: Dict[str, int]) -> Dict[str, int]:
     honoring prior erasures."""
     if not hot:
         return hot
+    from ..io import native
+
     items = sorted(hot.items())
     n_items = len(items)
     strs = [s for s, _ in items]
@@ -289,38 +303,78 @@ def _filter_substrings(hot: Dict[str, int]) -> Dict[str, int]:
     n = len(flat)
     starts = np.zeros(n_items, np.int64)
     np.cumsum(slen[:-1], out=starts[1:])
-    item_of_pos = np.repeat(np.arange(n_items), slen)
-    ctx = _hash_ctx(flat, _ORS_PRIMES[:1])
+    use_native = native.get_lib() is not None
+    if not use_native:
+        item_of_pos = np.repeat(np.arange(n_items), slen)
+        ctx = _hash_ctx(flat, _ORS_PRIMES[:1])
 
     cand: Dict[int, np.ndarray] = {}
+    cand_si: List[np.ndarray] = []
+    cand_it: List[np.ndarray] = []
     for step in sorted({len(s) for s in strs}):
-        m = n - step + 1
-        if m <= 0:
-            break
         short_idx = np.flatnonzero(slen == step)
-        h = _window_hashes(ctx, n, step, 0)
-        # windows fully inside a STRICTLY longer hot string
-        rid = item_of_pos[:m]
-        local = np.arange(m) - starts[rid]
-        valid = (local <= slen[rid] - step) & (slen[rid] > step)
-        if not valid.any() or len(short_idx) == 0:
+        if len(short_idx) == 0:
             continue
-        wh = h[valid]
-        witem = rid[valid]
-        order = np.argsort(wh, kind="stable")
-        wh = wh[order]
-        witem = witem[order]
-        sh = h[starts[short_idx]]  # hash of each short string itself
+        if use_native:
+            # containment candidates in C: every step-window of the longer
+            # items probed against the sorted short-string hash set
+            sh = np.fromiter(
+                (native.hash64(s.encode("latin-1")) for s in
+                 (strs[int(i)] for i in short_idx)),
+                count=len(short_idx), dtype=np.uint64)
+            sh_order = np.argsort(sh, kind="stable")
+            ranks, items_arr = native.contain_pairs(
+                flat, starts, slen, step, sh[sh_order])
+            cand_si.append(short_idx[sh_order[ranks]])
+            cand_it.append(items_arr)
+            continue
+        else:
+            m = n - step + 1
+            if m <= 0:
+                break
+            h = _window_hashes(ctx, n, step, 0)
+            # windows fully inside a STRICTLY longer hot string
+            rid = item_of_pos[:m]
+            local = np.arange(m) - starts[rid]
+            valid = (local <= slen[rid] - step) & (slen[rid] > step)
+            if not valid.any():
+                continue
+            wh = h[valid]
+            witem = rid[valid]
+            order = np.argsort(wh, kind="stable")
+            wh = wh[order]
+            witem = witem[order]
+            sh = h[starts[short_idx]]  # hash of each short string itself
         lo = np.searchsorted(wh, sh, side="left")
         hi = np.searchsorted(wh, sh, side="right")
         for k, si in enumerate(short_idx):
             if hi[k] > lo[k]:
                 cand[int(si)] = witem[lo[k] : hi[k]]
 
+    counts_arr = np.fromiter((c for _, c in items), count=n_items,
+                             dtype=np.int64)
+    if cand_si:
+        # group the flat candidate arrays by short index; the ratio test is
+        # vectorized per short so Python only touches passing candidates
+        si_all = np.concatenate(cand_si)
+        it_all = np.concatenate(cand_it)
+        order = np.argsort(si_all, kind="stable")
+        si_all = si_all[order]
+        it_all = it_all[order]
+        bounds = np.searchsorted(si_all, np.arange(n_items + 1))
+
     removed_flags = np.zeros(n_items, bool)
     removed = []
     for i, (s, count) in enumerate(items):
-        for idx in cand.get(i, ()):
+        if cand_si:
+            cs = it_all[bounds[i] : bounds[i + 1]]
+            if len(cs) == 0:
+                continue
+            ok = ~removed_flags[cs] & (count // counts_arr[cs] < 10)
+            cs = cs[ok]
+        else:
+            cs = cand.get(i, ())
+        for idx in cs:
             s2, count2 = items[int(idx)]
             # hash candidates are verified exactly (s in s2) before acting
             if not removed_flags[idx] and count // count2 < 10 and s in s2:
@@ -411,15 +465,19 @@ def _load_record_seqs(filename: str, read_limit: int, base_limit: int) -> List[s
 
 
 def _count_seed_kmers(records: List[str], keylen: int, shift_tail: int) -> np.ndarray:
-    """10-mer histogram over positions >= 20 (evaluator.cpp:273-282),
-    vectorized with numpy over the whole record block."""
+    """10-mer histogram over positions >= 20 (evaluator.cpp:273-282):
+    per-length blocks through the native rolling-window scan
+    (fastq_core.cpp fq_seed_hist, ~0.2s for a 256Ki-read scan), with an
+    int32 numpy fallback."""
+    from ..io import native
+
     size = 1 << (keylen * 2)
     counts = np.zeros(size, np.int64)
-    # bucket records by length for vectorization
+    # bucket records by length for uniform blocks
     by_len: Dict[int, List[str]] = defaultdict(list)
     for r in records:
         by_len[len(r)].append(r)
-    lut = np.full(256, -1, np.int64)
+    lut = np.full(256, -1, np.int8)
     for b, v in _BASE_VAL.items():
         lut[b] = v
     for rlen, rs in by_len.items():
@@ -428,16 +486,17 @@ def _count_seed_kmers(records: List[str], keylen: int, shift_tail: int) -> np.nd
         if last < 20:
             continue
         arr = np.frombuffer("".join(rs).encode("latin-1"), np.uint8).reshape(len(rs), rlen)
-        codes = lut[arr]
+        if native.seed_hist(arr, keylen, shift_tail, counts):
+            continue
+        codes = lut[arr].astype(np.int32)
         npos = last - 20 + 1
-        keys = np.zeros((len(rs), npos), np.int64)
+        keys = np.zeros((len(rs), npos), np.int32)
         ok = np.ones((len(rs), npos), bool)
         for j in range(keylen):
             c = codes[:, 20 + j : 20 + j + npos]
             keys = keys * 4 + np.maximum(c, 0)
             ok &= c >= 0
         # bincount, not np.add.at: the unbuffered ufunc costs ~1us/element
-        # (11s over a 256Ki-read scan); bincount is a C histogram
         counts += np.bincount(keys[ok].reshape(-1), minlength=size)
     return counts
 

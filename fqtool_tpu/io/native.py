@@ -98,8 +98,84 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                    ctypes.c_int32, _i64p, _i32p]
         lib.gz_deflate_free.restype = None
         lib.gz_deflate_free.argtypes = [ctypes.c_void_p]
+        lib.fq_seed_hist.restype = None
+        lib.fq_seed_hist.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int32, ctypes.c_int32, _i64p]
+        lib.fq_ors_scan.restype = ctypes.c_int64
+        lib.fq_ors_scan.argtypes = [_u8p, _i64p, _i64p, ctypes.c_int64,
+                                    ctypes.c_int32, ctypes.c_int64,
+                                    _i64p, _i64p, ctypes.c_int64]
+        _u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.fq_contain_pairs.restype = ctypes.c_int64
+        lib.fq_contain_pairs.argtypes = [_u8p, _i64p, _i64p,
+                                         ctypes.c_int64, ctypes.c_int32,
+                                         _u64p, ctypes.c_int64,
+                                         _i64p, _i64p, ctypes.c_int64]
+        lib.fq_hash64.restype = ctypes.c_uint64
+        lib.fq_hash64.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         _lib = lib
         return _lib
+
+
+def contain_pairs(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                  step: int, short_hash_sorted: np.ndarray):
+    """(short_rank, containing_item) candidate pairs for step-windows inside
+    strictly longer items, or None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(flat, np.uint8)
+    starts = np.ascontiguousarray(starts, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    sh = np.ascontiguousarray(short_hash_sorted, np.uint64)
+    cap = max(int(np.where(lens > step, lens - step + 1, 0).sum()), 16)
+    out_s = np.empty(cap, np.int64)
+    out_i = np.empty(cap, np.int64)
+    n = lib.fq_contain_pairs(
+        _ptr(flat, _u8p), _ptr(starts, _i64p), _ptr(lens, _i64p),
+        len(lens), step,
+        sh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(sh),
+        _ptr(out_s, _i64p), _ptr(out_i, _i64p), cap)
+    return out_s[:n], out_i[:n]
+
+
+def hash64(data: bytes) -> int:
+    lib = get_lib()
+    return int(lib.fq_hash64(data, len(data)))
+
+
+def ors_scan(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+             step: int, threshold: int):
+    """Above-threshold window groups as (first_pos, count) arrays, or None
+    when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(flat, np.uint8)
+    starts = np.ascontiguousarray(starts, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    windows = int(np.maximum(lens - step, 0).sum())
+    max_out = max(windows // max(threshold, 1) + 1, 16)
+    out_pos = np.empty(max_out, np.int64)
+    out_count = np.empty(max_out, np.int64)
+    n = lib.fq_ors_scan(_ptr(flat, _u8p), _ptr(starts, _i64p),
+                        _ptr(lens, _i64p), len(lens), step, threshold,
+                        _ptr(out_pos, _i64p), _ptr(out_count, _i64p), max_out)
+    return out_pos[:n], out_count[:n]
+
+
+def seed_hist(block: np.ndarray, keylen: int, shift_tail: int,
+              counts: np.ndarray) -> bool:
+    """Accumulate the adapter-detection k-mer histogram over a uniform-length
+    [n, rlen] uint8 block into ``counts`` (int64[4^keylen]).  Returns False
+    when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    block = np.ascontiguousarray(block, np.uint8)
+    lib.fq_seed_hist(_ptr(block, _u8p), block.shape[0], block.shape[1],
+                     keylen, shift_tail, _ptr(counts, _i64p))
+    return True
 
 
 class Inflater:

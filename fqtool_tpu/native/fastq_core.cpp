@@ -17,9 +17,12 @@
 // Build: g++ -O3 -march=native -shared -fPIC -o libfastq_core.so fastq_core.cpp -lz
 // Exposed via ctypes (extern "C"), no Python.h dependency.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <utility>
+#include <vector>
 
 #include <zlib.h>
 
@@ -280,6 +283,141 @@ int64_t fq_format(int64_t n, const uint8_t* select,
         *p++ = '\n';
     }
     return p - out;
+}
+
+// ---------------------------------------------------------------------------
+// adapter-detection seed histogram
+// ---------------------------------------------------------------------------
+
+// Count every 2-bit-packed k-mer at positions >= 20 (and <= rlen - keylen -
+// shift_tail) over an [n, rlen] block of uniform-length reads, rolling-window
+// with an invalid-base tracker.  Mirrors the reference seed scan
+// (reference: src/evaluator.cpp:266-282, seq2int mapping A=0 T=1 C=2 G=3).
+void fq_seed_hist(const uint8_t* seqs, int64_t n, int64_t rlen,
+                  int32_t keylen, int32_t shift_tail, int64_t* counts) {
+    int8_t lut[256];
+    memset(lut, -1, sizeof(lut));
+    lut['A'] = 0; lut['T'] = 1; lut['C'] = 2; lut['G'] = 3;
+    const uint32_t mask = (keylen >= 16) ? 0xffffffffu
+                                         : ((1u << (2 * keylen)) - 1u);
+    const int64_t last = rlen - keylen - shift_tail;  // max window start
+    if (last < 20) return;
+    for (int64_t r = 0; r < n; ++r) {
+        const uint8_t* row = seqs + r * rlen;
+        uint32_t key = 0;
+        int64_t last_bad = 19;  // windows must start at pos >= 20
+        const int64_t jend = last + keylen;  // window [s, s+keylen), s <= last
+        for (int64_t j = 20; j < jend; ++j) {
+            int8_t c = lut[row[j]];
+            if (c < 0) { last_bad = j; c = 0; }
+            key = ((key << 2) | (uint32_t)c) & mask;
+            int64_t s = j - keylen + 1;
+            if (s >= 20 && last_bad < s) ++counts[key];
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// overrepresented-sequence window scan
+// ---------------------------------------------------------------------------
+
+// Count every length-``step`` window that stays inside its read (window
+// start i < rlen - step, matching the reference loop evaluator.cpp:131) via
+// 64-bit rolling polynomial hashes + sort, and emit (first position, count)
+// for every group with count >= threshold.  The Python caller extracts the
+// exact substring at the first position.  Replaces the reference's
+// std::map<substring> insert storm (reference: src/evaluator.cpp:120-161).
+int64_t fq_ors_scan(const uint8_t* flat,
+                    const int64_t* starts, const int64_t* lens,
+                    int64_t nreads, int32_t step, int64_t threshold,
+                    int64_t* out_pos, int64_t* out_count, int64_t max_out) {
+    const uint64_t P = 1099511628211ull;  // FNV prime
+    uint64_t ptop = 1;
+    for (int32_t i = 0; i < step - 1; ++i) ptop *= P;
+
+    int64_t total = 0;
+    for (int64_t r = 0; r < nreads; ++r)
+        if (lens[r] > step) total += lens[r] - step;
+    std::vector<std::pair<uint64_t, int64_t>> v;
+    v.reserve((size_t)total);
+
+    for (int64_t r = 0; r < nreads; ++r) {
+        const int64_t L = lens[r];
+        if (L <= step) continue;
+        const uint8_t* s = flat + starts[r];
+        uint64_t h = 0;
+        for (int32_t j = 0; j < step; ++j) h = h * P + s[j];
+        v.push_back({h, starts[r]});
+        for (int64_t i = 1; i < L - step; ++i) {
+            h = (h - (uint64_t)s[i - 1] * ptop) * P + s[i + step - 1];
+            v.push_back({h, starts[r] + i});
+        }
+    }
+    std::sort(v.begin(), v.end());
+
+    int64_t out = 0;
+    size_t i = 0;
+    while (i < v.size() && out < max_out) {
+        size_t j = i + 1;
+        while (j < v.size() && v[j].first == v[i].first) ++j;
+        if ((int64_t)(j - i) >= threshold) {
+            out_pos[out] = v[i].second;  // sorted by (hash, pos): first = min
+            out_count[out] = (int64_t)(j - i);
+            ++out;
+        }
+        i = j;
+    }
+    return out;
+}
+
+// (short, long) containment candidate pairs: for every length-``step``
+// window FULLY contained in an item strictly longer than ``step``, probe the
+// caller's SORTED array of short-string hashes and emit (rank in that array,
+// containing item) on hit.  Probing ~15k sorted hashes per window beats
+// sorting millions of window pairs (the ORS superstring-containment index,
+// reference: src/evaluator.cpp:166-188).  Returns the pair count (capped at
+// max_out; candidates are verified exactly by the caller anyway).
+int64_t fq_contain_pairs(const uint8_t* flat,
+                         const int64_t* starts, const int64_t* lens,
+                         int64_t n_items, int32_t step,
+                         const uint64_t* short_hash, int64_t n_short,
+                         int64_t* out_short, int64_t* out_item,
+                         int64_t max_out) {
+    const uint64_t P = 1099511628211ull;
+    uint64_t ptop = 1;
+    for (int32_t i = 0; i < step - 1; ++i) ptop *= P;
+    const uint64_t* se = short_hash + n_short;
+    std::vector<int64_t> last_item(n_short, -1);  // (short, item) dedup
+    int64_t out = 0;
+    for (int64_t r = 0; r < n_items && out < max_out; ++r) {
+        const int64_t L = lens[r];
+        if (L <= step) continue;
+        const uint8_t* s = flat + starts[r];
+        uint64_t h = 0;
+        for (int32_t j = 0; j < step; ++j) h = h * P + s[j];
+        for (int64_t i = 0;; ++i) {
+            const uint64_t* lo = std::lower_bound(short_hash, se, h);
+            for (const uint64_t* q = lo; q != se && *q == h && out < max_out; ++q) {
+                int64_t rank = q - short_hash;
+                if (last_item[rank] == r) continue;
+                last_item[rank] = r;
+                out_short[out] = rank;
+                out_item[out] = r;
+                ++out;
+            }
+            if (i + 1 + step > L) break;
+            h = (h - (uint64_t)s[i] * ptop) * P + s[i + step];
+        }
+    }
+    return out;
+}
+
+// 64-bit polynomial hash of one span (same P as the window scans).
+uint64_t fq_hash64(const uint8_t* s, int64_t n) {
+    const uint64_t P = 1099511628211ull;
+    uint64_t h = 0;
+    for (int64_t i = 0; i < n; ++i) h = h * P + s[i];
+    return h;
 }
 
 }  // extern "C"
