@@ -21,6 +21,14 @@ def name_matrix(buf: bytes, off: np.ndarray, nlen: np.ndarray) -> np.ndarray:
     W = max(int(nlen.max(initial=0)), 1)
     if B == 0 or not buf:
         return np.zeros((B, W), np.uint8)
+    from ..io import native
+    if native.get_lib() is not None:
+        # the native span packer row-memcpys at C speed (the numpy fancy
+        # gather below costs ~1s per 131k-read pack on a slow vCPU)
+        spans = dict(seq_off=off.astype(np.int64), seq_len=nlen.astype(np.int32),
+                     qual_off=off.astype(np.int64))
+        mat, _ = native.pack_spans(buf, spans, W, False)
+        return mat
     arr = np.frombuffer(buf, np.uint8)
     idx = np.minimum(off[:, None] + np.arange(W, dtype=np.int64)[None, :],
                      len(buf) - 1)

@@ -46,6 +46,8 @@ def pe_pipeline(
     use_start0: bool = False,
     with_kmer: bool = False,
     discard_unmerged: bool = False,
+    start1_static: int = -1,
+    start2_static: int = -1,
 ):
     """Full PE per-pair pipeline on one pack.  ``p`` carries the shared/r1
     parameters, ``p2`` the r2 force-trim parameters."""
@@ -65,13 +67,22 @@ def pe_pipeline(
     if p.dup_enabled:
         out["dup"] = ops_dup.dup_keys_pe(seq1, lens1, seq2, lens2, p.dup_keylen)
 
-    # 3. UMI offsets from host
+    # 3. UMI offsets from host; fixed-length UMIs give uniform offsets
+    # (runner-detected): static slice+pad instead of per-row gathers
     if use_start0:
-        seq1 = align(seq1, start1)
-        qual1 = align(qual1, start1)
+        if start1_static >= 0:
+            seq1 = align_static(seq1, start1_static)
+            qual1 = align_static(qual1, start1_static)
+        else:
+            seq1 = align(seq1, start1)
+            qual1 = align(qual1, start1)
         lens1 = lens1 - start1
-        seq2 = align(seq2, start2)
-        qual2 = align(qual2, start2)
+        if start2_static >= 0:
+            seq2 = align_static(seq2, start2_static)
+            qual2 = align_static(qual2, start2_static)
+        else:
+            seq2 = align(seq2, start2)
+            qual2 = align(qual2, start2)
         lens2 = lens2 - start2
 
     # 4. trimAndCut per side (peprocessor.cpp:292-293)
@@ -259,7 +270,7 @@ def pe_pipeline(
 
 
 se_static = ("p", "p2", "adapter_r1", "adapter_r2", "use_start0", "with_kmer",
-             "discard_unmerged")
+             "discard_unmerged", "start1_static", "start2_static")
 pe_pipeline_call = BlobCall(pe_pipeline.__wrapped__, se_static)
 
 

@@ -158,17 +158,18 @@ class PairEndRunner:
                       else min(opt.buf_size.max_reads_in_pack,
                                PE_CHUNK * pack_chunks))
         total = 0
-        for pack1, pack2 in prefetch_iter(iter_packs_paired(
-                opt.in1, opt.in2, opt.interleaved_input,
-                pack_reads, opt.phred64)):
-            r = self.process_pack(pack1, pack2,
-                                  has_unpaired1=w_unpaired1 is not None,
-                                  want_failed=w_failed is not None)
-            total += pack1.count
+
+        def emit(submitted):
+            nonlocal total
+            r = self.complete_pack(submitted,
+                                   has_unpaired1=w_unpaired1 is not None,
+                                   want_failed=w_failed is not None)
+            total += submitted[0].count
             if split is not None:
                 split.write(r["out1"], r["out2"])
                 split.mark_processed(
-                    r["read_passed"] if opt.split.by_file_lines else pack1.count)
+                    r["read_passed"] if opt.split.by_file_lines
+                    else submitted[0].count)
             else:
                 # pair output requires BOTH writers (peprocessor.cpp:469-475):
                 # with only -o and no -O, passing pairs go nowhere
@@ -183,6 +184,24 @@ class PairEndRunner:
                 w_merged.write(r["merged"])
             if w_failed is not None:
                 w_failed.write(r["failed"])
+
+        # cross-pack overlap: pack k+1's chunks execute on the device while
+        # the host fetches and folds pack k (same opt-in as the SE runner --
+        # some remote attachments deadlock with two program batches in flight)
+        overlap = os.environ.get("FQTOOL_TPU_PACK_OVERLAP", "0") == "1"
+        in_flight = None
+        for pack1, pack2 in prefetch_iter(iter_packs_paired(
+                opt.in1, opt.in2, opt.interleaved_input,
+                pack_reads, opt.phred64)):
+            submitted = self.submit_pack(pack1, pack2)
+            if not overlap:
+                emit(submitted)
+                continue
+            if in_flight is not None:
+                emit(in_flight)
+            in_flight = submitted
+        if in_flight is not None:
+            emit(in_flight)
         loginfo(f"processed {total} read pairs")
 
         for w in (split, w_out1, w_out2, w_unpaired1, w_unpaired2, w_merged, w_failed):
@@ -249,6 +268,15 @@ class PairEndRunner:
     # ------------------------------------------------------------------
     def process_pack(self, pack1: ReadPack, pack2: ReadPack,
                      has_unpaired1: bool, want_failed: bool) -> dict:
+        """Synchronous submit + complete (tests and the multi-host loop)."""
+        return self.complete_pack(self.submit_pack(pack1, pack2),
+                                  has_unpaired1, want_failed)
+
+    def submit_pack(self, pack1: ReadPack, pack2: ReadPack):
+        """Host prep (index filter, UMI) + async dispatch of all device
+        chunks; returns a handle for :meth:`complete_pack`.  Splitting
+        submit from complete lets the run loop keep the NEXT pack's chunks
+        executing on the device while the host folds the current one."""
         opt = self.opt
         B = pack1.count
         keep = np.ones(B, bool)
@@ -256,11 +284,6 @@ class PairEndRunner:
             keep = ~(index_filter_matches(opt, pack1, opt.index_filter.blacklist1)
                      | index_filter_matches(opt, pack2, opt.index_filter.blacklist2))
         start1, start2 = process_umi(opt, pack1, pack2)
-
-        parts: dict = {k: [] for k in
-                       ("out1", "out2", "unpaired1", "unpaired2", "merged", "failed")}
-        read_passed = 0
-        merged_count = 0
 
         if not self._rows:
             # the jnp overlap analysis works over [rows, offsets, L]
@@ -296,12 +319,17 @@ class PairEndRunner:
                         pad_rows(start2[lo:hi], rows),
                         pad_rows(keep[lo:hi], rows),
                         real)
+                from .runner import _uniform_offset
                 kw = dict(p=self.p1, p2=self.p2,
                           adapter_r1=self.adapter_r1,
                           adapter_r2=self.adapter_r2,
                           use_start0=bool(opt.umi.enabled),
                           with_kmer=bool(opt.kmer.enabled),
-                          discard_unmerged=bool(opt.merge_pe.discard_unmerged))
+                          discard_unmerged=bool(opt.merge_pe.discard_unmerged),
+                          start1_static=_uniform_offset(start1[lo:hi])
+                          if opt.umi.enabled else -1,
+                          start2_static=_uniform_offset(start2[lo:hi])
+                          if opt.umi.enabled else -1)
                 # packed transport (ops/packed.py) halves upload bytes; a win
                 # only on slow host->device links, so opt-in (see runner.py)
                 from ..ops.packed import encode_host
@@ -315,6 +343,16 @@ class PairEndRunner:
                                             lens2, *rest, **kw)
                 pending.append((lo, n, call))
             lo = hi
+        return pack1, pack2, keep, start1, start2, pending
+
+    def complete_pack(self, submitted, has_unpaired1: bool,
+                      want_failed: bool) -> dict:
+        pack1, pack2, keep, start1, start2, pending = submitted
+        opt = self.opt
+        parts: dict = {k: [] for k in
+                       ("out1", "out2", "unpaired1", "unpaired2", "merged", "failed")}
+        read_passed = 0
+        merged_count = 0
         for lo, n, call in pending:
             with stage("pe_device_wait"):
                 out = call.get()

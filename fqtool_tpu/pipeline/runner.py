@@ -65,6 +65,16 @@ def chunk_rows(pack_total: int, cap: int) -> int:
     return cap
 
 
+def _uniform_offset(start: np.ndarray) -> int:
+    """The constant value of ``start`` when every row agrees (fixed-length
+    UMIs), else -1 -- lets the pipeline use a static shift instead of a
+    per-row gather (~100x cheaper on TPU)."""
+    if len(start) == 0:
+        return -1
+    v = int(start[0])
+    return v if bool((start == v).all()) else -1
+
+
 def pad_rows(a: np.ndarray, n: int) -> np.ndarray:
     if a.shape[0] == n:
         return a
@@ -396,7 +406,9 @@ class SingleEndRunner:
             kw = dict(p=self.params,
                       adapter_r1=self.adapter_r1,
                       use_start0=bool(opt.umi.enabled),
-                      with_kmer=bool(opt.kmer.enabled))
+                      with_kmer=bool(opt.kmer.enabled),
+                      start0_static=_uniform_offset(start0[lo:hi])
+                      if opt.umi.enabled else -1)
             # packed transport (ops/packed.py) halves upload bytes -- a win
             # only when the host->device link is slow (WAN-tunneled chips),
             # so it is opt-in: the local encode pass costs more than the

@@ -45,6 +45,7 @@ def se_pipeline(
     adapter_r1: bytes = b"",
     use_start0: bool = False,
     with_kmer: bool = False,
+    start0_static: int = -1,
 ):
     """Run the full SE per-read pipeline on one pack.
 
@@ -71,10 +72,16 @@ def se_pipeline(
     if p.dup_enabled:
         out["dup"] = ops_dup.dup_keys_se(seq, lens, p.dup_keylen)
 
-    # 3. UMI front-trim offsets computed on host; realign
+    # 3. UMI front-trim offsets computed on host; realign.  Fixed-length
+    # UMIs give a uniform offset (detected by the runner): static slice+pad
+    # instead of the per-row gather
     if use_start0:
-        seq = align(seq, start0)
-        qual = align(qual, start0)
+        if start0_static >= 0:
+            seq = align_static(seq, start0_static)
+            qual = align_static(qual, start0_static)
+        else:
+            seq = align(seq, start0)
+            qual = align(qual, start0)
         lens = lens - start0
     else:
         start0 = jnp.zeros_like(lens)
@@ -146,7 +153,7 @@ def se_pipeline(
 # transfers per chunk instead of one per output array)
 se_pipeline_call = BlobCall(
     se_pipeline.__wrapped__,
-    ("p", "adapter_r1", "use_start0", "with_kmer"))
+    ("p", "adapter_r1", "use_start0", "with_kmer", "start0_static"))
 
 
 def _se_pipeline_packed(enc, lens, start0, keep, real, **kw):
@@ -160,4 +167,4 @@ def _se_pipeline_packed(enc, lens, start0, keep, real, **kw):
 
 se_packed_call = BlobCall(
     _se_pipeline_packed,
-    ("p", "adapter_r1", "use_start0", "with_kmer"))
+    ("p", "adapter_r1", "use_start0", "with_kmer", "start0_static"))
