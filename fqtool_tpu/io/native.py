@@ -113,8 +113,39 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                          _i64p, _i64p, ctypes.c_int64]
         lib.fq_hash64.restype = ctypes.c_uint64
         lib.fq_hash64.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.fq_assemble_merged.restype = None
+        lib.fq_assemble_merged.argtypes = [
+            _u8p, _u8p, ctypes.c_int64,
+            _u8p, _u8p, ctypes.c_int64,
+            ctypes.c_int64, _u8p,
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+            _u8p, _u8p, ctypes.c_int64]
         _lib = lib
         return _lib
+
+
+def assemble_merged(m1s, m1q, m2s, m2q, sel, front1, front2, rlen2, ol,
+                    len1, len2, wm: int):
+    """Merged-read matrices [n, wm] for the selected rows, or None without
+    the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = m1s.shape[0]
+    ms = np.empty((n, wm), np.uint8)
+    mq = np.empty((n, wm), np.uint8)
+    i32 = lambda a: np.ascontiguousarray(a, np.int32)
+    lib.fq_assemble_merged(
+        _ptr(np.ascontiguousarray(m1s), _u8p),
+        _ptr(np.ascontiguousarray(m1q), _u8p), m1s.shape[1],
+        _ptr(np.ascontiguousarray(m2s), _u8p),
+        _ptr(np.ascontiguousarray(m2q), _u8p), m2s.shape[1],
+        n, _ptr(np.ascontiguousarray(sel, np.uint8), _u8p),
+        _ptr(i32(front1), _i32p), _ptr(i32(front2), _i32p),
+        _ptr(i32(rlen2), _i32p), _ptr(i32(ol), _i32p),
+        _ptr(i32(len1), _i32p), _ptr(i32(len2), _i32p),
+        _ptr(ms, _u8p), _ptr(mq, _u8p), wm)
+    return ms, mq
 
 
 def contain_pairs(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray,

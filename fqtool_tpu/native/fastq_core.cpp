@@ -412,6 +412,57 @@ int64_t fq_contain_pairs(const uint8_t* flat,
     return out;
 }
 
+// ---------------------------------------------------------------------------
+// merged-pair assembly
+// ---------------------------------------------------------------------------
+
+// Build merged reads (reference: src/overlapanalysis.cpp:74-104):
+//   merged = r1[0:len1] ++ revcomp(r2)[ol : ol+len2]
+// for every selected row, from the (corrected) pack matrices.  Row i of the
+// second part reads r2[front2 + rlen2-1-(ol + i - len1)] complemented.
+// Unselected rows are zeroed.  All indices are clamped defensively.
+void fq_assemble_merged(const uint8_t* m1s, const uint8_t* m1q, int64_t w1,
+                        const uint8_t* m2s, const uint8_t* m2q, int64_t w2,
+                        int64_t n, const uint8_t* sel,
+                        const int32_t* front1, const int32_t* front2,
+                        const int32_t* rlen2, const int32_t* ol,
+                        const int32_t* len1, const int32_t* len2,
+                        uint8_t* ms, uint8_t* mq, int64_t wm) {
+    uint8_t comp[256];
+    memset(comp, 'N', sizeof(comp));
+    comp['A'] = 'T'; comp['a'] = 'T'; comp['T'] = 'A'; comp['t'] = 'A';
+    comp['C'] = 'G'; comp['c'] = 'G'; comp['G'] = 'C'; comp['g'] = 'C';
+    for (int64_t r = 0; r < n; ++r) {
+        uint8_t* os = ms + r * wm;
+        uint8_t* oq = mq + r * wm;
+        memset(os, 0, (size_t)wm);
+        memset(oq, 0, (size_t)wm);
+        if (!sel[r]) continue;
+        int64_t l1 = len1[r];
+        if (l1 < 0) l1 = 0;
+        if (l1 > wm) l1 = wm;
+        int64_t f1 = front1[r];
+        if (f1 < 0) f1 = 0;
+        int64_t c1 = l1;
+        if (f1 + c1 > w1) c1 = w1 - f1 > 0 ? w1 - f1 : 0;
+        memcpy(os, m1s + r * w1 + f1, (size_t)c1);
+        memcpy(oq, m1q + r * w1 + f1, (size_t)c1);
+        int64_t l2 = len2[r];
+        if (l2 < 0) l2 = 0;
+        if (l1 + l2 > wm) l2 = wm - l1;
+        const uint8_t* s2 = m2s + r * w2;
+        const uint8_t* q2 = m2q + r * w2;
+        const int64_t f2 = front2[r];
+        for (int64_t i = 0; i < l2; ++i) {
+            int64_t j = f2 + (int64_t)rlen2[r] - 1 - (ol[r] + i);
+            if (j < 0) j = 0;
+            if (j >= w2) j = w2 - 1;
+            os[l1 + i] = comp[s2[j]];
+            oq[l1 + i] = q2[j];
+        }
+    }
+}
+
 // 64-bit polynomial hash of one span (same P as the window scans).
 uint64_t fq_hash64(const uint8_t* s, int64_t n) {
     const uint64_t P = 1099511628211ull;

@@ -62,13 +62,20 @@ def _apply_patches(mat_s: np.ndarray, mat_q: np.ndarray, pos: np.ndarray,
 
 
 def _assemble_merged(mat1s, mat1q, mat2s, mat2q, front1, front2, rlen2,
-                     offset, ol, len1, len2):
+                     offset, ol, len1, len2, sel=None):
     """Host-side merged-read construction (overlapanalysis.cpp:74-104):
-    merged = r1[0:len1] ++ revcomp(r2)[ol : ol+len2], built with two row
-    gathers over the (patched) pack matrices."""
+    merged = r1[0:len1] ++ revcomp(r2)[ol : ol+len2].  Native row-copy for
+    the selected rows when available; numpy row gathers otherwise."""
+    from ..io import native
+
     n = mat1s.shape[0]
     mlen = len1 + len2
     Wm = max(int(mlen.max(initial=1)), 1)
+    if sel is not None:
+        got = native.assemble_merged(mat1s, mat1q, mat2s, mat2q, sel,
+                                     front1, front2, rlen2, ol, len1, len2, Wm)
+        if got is not None:
+            return got
     pos = np.arange(Wm, dtype=np.int32)[None, :]
     from1 = pos < len1[:, None]
     idx1 = np.clip(front1[:, None] + pos, 0, mat1s.shape[1] - 1)
@@ -520,10 +527,14 @@ class PairEndRunner:
             m_rlen = np.asarray(out["merged_rlen"])[:n]
             m_len1 = np.asarray(out["merged_len1"])[:n]
             m_len2 = np.asarray(out["merged_len2"])[:n]
+            # only rows actually written to the merged stream need content
+            m_need = (both & mergeable & kchunk
+                      & (resultM == PASS_FILTER))
             m_seq, m_qual = _assemble_merged(
                 mat1s, mat1q, mat2s, mat2q, front1, front2, rlen2,
                 np.asarray(out["merged_offset"])[:n],
-                np.asarray(out["merged_ol"])[:n], m_len1, m_len2)
+                np.asarray(out["merged_ol"])[:n], m_len1, m_len2,
+                sel=m_need)
 
         sampling = opt.over_rep.sampling if opt.over_rep.enabled else 0
         read_passed = 0
