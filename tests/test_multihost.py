@@ -127,6 +127,17 @@ def test_multihost_pe_merge_correction(tmp_path):
                           ("merged.fq.gz", "failed.fq.gz"))
 
 
+def test_multihost_sparse_dup_table(tmp_path):
+    """keylen >= 16 spills the dup table to the sparse slot map; the
+    cross-host merge must combine raw keys, not slot ids."""
+    argv = ["-i", str(R1), "-o", "out.fq.gz", "-q", "-d",
+            "--dup_ana_key_len", "17"]
+    _run_single(argv, tmp_path / "single")
+    _run_multihost(argv, tmp_path / "mh2", 2)
+    _assert_equal_outputs(tmp_path / "single", tmp_path / "mh2",
+                          ("out.fq.gz",))
+
+
 def test_multihost_pe_full(tmp_path):
     """Full PE with adapter trimming, unpaired routing and kmer stats."""
     argv = ["-i", str(R1), "-I", str(R2), "-o", "out1.fq.gz",
