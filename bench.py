@@ -31,7 +31,7 @@ CONFIGS = [
      ["-q", "-f", "3", "-t", "2"]),
     ("se_polygx", None, 2, False, 100_000,
      ["-g", "-x"]),
-    ("se_adapter", 21_000, 2, False, 200_000,
+    ("se_adapter", 21_000, 2, False, 400_000,
      ["-a", "--adapter_of_read1", "AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"]),
     ("pe_merge_corr", 20_600, 2, True, 100_000,
      ["-m", "--merge_output", "merged.fq.gz", "-c"]),

@@ -28,8 +28,8 @@ from ..ops.filters import FAILED_TYPES, PASS_FILTER
 from ..io.fastq import format_array_records
 from .pe import pe_packed_call, pe_pipeline_call
 from .runner import (SplitWriter, _TAG_BUF, _TAG_LEN, _TAG_OFF, chunk_rows,
-                     index_filter_matches, loginfo, maybe_enable_sharding,
-                     pad_rows)
+                     drain_pipelined, index_filter_matches, loginfo,
+                     maybe_enable_sharding, pad_rows)
 
 # extended tag catalog: the fail-reason names plus the PE mate-fail tag
 _XTAG_BUF = _TAG_BUF + b"paired_read_is_failing"
@@ -338,10 +338,11 @@ class PairEndRunner:
                           start2_static=_uniform_offset(start2[lo:hi])
                           if opt.umi.enabled else -1)
                 # packed transport (ops/packed.py) halves upload bytes; a win
-                # only on slow host->device links, so opt-in (see runner.py)
+                # only on slow host->device links, so a one-shot link probe
+                # decides (host/linkprobe.py; FQTOOL_TPU_PACKED=1/0 forces)
                 from ..ops.packed import encode_host
-                packed = os.environ.get("FQTOOL_TPU_PACKED") == "1"
-                enc1 = encode_host(seq1, qual1) if packed else None
+                from ..host.linkprobe import use_packed
+                enc1 = encode_host(seq1, qual1) if use_packed() else None
                 enc2 = encode_host(seq2, qual2) if enc1 is not None else None
                 if enc2 is not None:
                     call = pe_packed_call(enc1, lens1, enc2, lens2, *rest, **kw)
@@ -360,9 +361,13 @@ class PairEndRunner:
                        ("out1", "out2", "unpaired1", "unpaired2", "merged", "failed")}
         read_passed = 0
         merged_count = 0
-        for lo, n, call in pending:
+        drain = drain_pipelined(pending)
+        while True:
             with stage("pe_device_wait"):
-                out = call.get()
+                item = next(drain, None)
+            if item is None:
+                break
+            lo, n, out = item
             with stage("pe_fold"):
                 rp, mc = self._fold_chunk(out, pack1, pack2, lo, n, keep, start1, start2,
                                       parts, has_unpaired1, want_failed)

@@ -44,6 +44,31 @@ def failed_tags(results: np.ndarray):
     return _TAG_BUF, _TAG_OFF[results], _TAG_LEN[results]
 
 
+def drain_pipelined(pending):
+    """Iterate dispatched chunks ``(..., call)`` yielding ``(..., out)`` with
+    chunk k+1's device->host blob fetch running in a background thread while
+    the caller folds chunk k.  Exactly one transfer is in flight at any time
+    (the axon attachment tolerates no concurrent transfers); the overlap is
+    between the transfer and the host-side numpy fold, which touches no JAX
+    state."""
+    if len(pending) <= 1:
+        for item in pending:
+            yield item[:-1] + (item[-1].get(),)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = ex.submit(pending[0][-1].get)
+        for k, item in enumerate(pending):
+            out = fut.result()
+            if k + 1 < len(pending):
+                fut = ex.submit(pending[k + 1][-1].get)
+            yield item[:-1] + (out,)
+    finally:
+        ex.shutdown(wait=False)
+
+
 # Fixed device batch sizes: every kernel invocation uses one of these row
 # counts (padded with masked rows) so the jit cache holds a handful of
 # programs regardless of input size -- recompilation would dominate runtime,
@@ -411,10 +436,10 @@ class SingleEndRunner:
                       if opt.umi.enabled else -1)
             # packed transport (ops/packed.py) halves upload bytes -- a win
             # only when the host->device link is slow (WAN-tunneled chips),
-            # so it is opt-in: the local encode pass costs more than the
-            # saved transfer on fast links
-            enc = (encode_host(seq, qual)
-                   if os.environ.get("FQTOOL_TPU_PACKED") == "1" else None)
+            # so a one-shot link probe decides (host/linkprobe.py;
+            # FQTOOL_TPU_PACKED=1/0 forces)
+            from ..host.linkprobe import use_packed
+            enc = encode_host(seq, qual) if use_packed() else None
             if enc is not None:
                 pending.append((n, se_packed_call(enc, *rest, **kw)))
             else:
@@ -427,9 +452,13 @@ class SingleEndRunner:
         per-read arrays."""
         merged: dict = {}
         base = self._record_base
-        for n, out in pending:
+        drain = drain_pipelined(pending)
+        while True:
             with stage("device_wait"):
-                out = out.get()
+                item = next(drain, None)
+            if item is None:
+                break
+            n, out = item
             self.pre_stats.add_batch(out.pop("pre"))
             self.post_stats.add_batch(out.pop("post"))
             if "pre_kmer" in out:
