@@ -29,7 +29,7 @@ TESTDATA = "/root/reference/testdata"
 CONFIGS = [
     ("se_qualtrim", 16_700, 3, False, 400_000,
      ["-q", "-f", "3", "-t", "2"]),
-    ("se_polygx", None, 2, False, 100_000,
+    ("se_polygx", None, 2, False, 400_000,
      ["-g", "-x"]),
     ("se_adapter", 21_000, 2, False, 400_000,
      ["-a", "--adapter_of_read1", "AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"]),
@@ -53,7 +53,7 @@ def main() -> None:
     replicate(f"{TESTDATA}/r1.fq.gz", f"{workdir}/se.fq.gz", 32)
     replicate(f"{TESTDATA}/r1.fq.gz", f"{workdir}/pe1.fq.gz", 8)
     replicate(f"{TESTDATA}/r2.fq.gz", f"{workdir}/pe2.fq.gz", 8)
-    replicate(f"{TESTDATA}/polygr1.fq", f"{workdir}/polyg.fq", 100_000)
+    replicate(f"{TESTDATA}/polygr1.fq", f"{workdir}/polyg.fq", 400_000)
 
     from fqtool_tpu.host import tracing
     from fqtool_tpu.main import main as fq_main

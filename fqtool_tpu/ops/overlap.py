@@ -13,6 +13,14 @@ d50 = mismatches among the first 50 compared bases,
 
 because the scan breaks (rejecting) exactly when the running diff reaches the
 limit before compare index 50 (overlapanalysis.cpp:27-29,32).
+
+That predicate collapses to ``d50 < limit`` alone: when overlap_len <= 50
+every compared base is among the first 50 so full_diff == d50, and when
+overlap_len > 50 the d50 clause subsumes the full_diff clause (full_diff <
+limit implies d50 <= full_diff < limit).  The accept scan therefore only
+needs mismatch counts over a [B, offsets, 50] window -- O(L*50) work instead
+of O(L^2) -- and the full diff (reported for the correction/trim gates) is
+computed once per row at the selected offset.
 """
 
 from __future__ import annotations
@@ -42,24 +50,21 @@ def reverse_complement(seq: jnp.ndarray, rlen: jnp.ndarray) -> jnp.ndarray:
     return complement(jnp.take_along_axis(seq, idx, axis=1))
 
 
-def _phase_scan(a: jnp.ndarray, b_shifted: jnp.ndarray, ol: jnp.ndarray,
-                valid: jnp.ndarray, diff_limit: int):
-    """Shared accept/select logic.  ``a``: [B, 1, L], ``b_shifted``: [B, O, L],
-    ``ol``/``valid``: [B, O]."""
-    L = b_shifted.shape[2]
-    pos = positions(L)[None, :, :]  # [1, 1, L]
-    neq = a != b_shifted
+def _phase_scan50(a50: jnp.ndarray, b50_shifted: jnp.ndarray, ol: jnp.ndarray,
+                  valid: jnp.ndarray, diff_limit: int):
+    """Accept/select over the first COMPLETE_COMPARE_REQUIRE compared bases
+    (accept <=> d50 < diff_limit, see module docstring).  ``a50``: [B, 1, 50],
+    ``b50_shifted``: [B, O, 50], ``ol``/``valid``: [B, O]."""
+    W = b50_shifted.shape[2]
+    pos = positions(W)[None, :, :]  # [1, 1, W]
+    neq = a50 != b50_shifted
     in_ol = pos < ol[:, :, None]
-    full = jnp.sum(neq & in_ol, axis=2).astype(jnp.int32)
-    d50 = jnp.sum(neq & in_ol & (pos < COMPLETE_COMPARE_REQUIRE), axis=2).astype(jnp.int32)
-    accept = (full < diff_limit) | ((d50 < diff_limit) & (ol > COMPLETE_COMPARE_REQUIRE))
-    hit = accept & valid
+    d50 = jnp.sum(neq & in_ol, axis=2).astype(jnp.int32)
+    hit = (d50 < diff_limit) & valid
     found = jnp.any(hit, axis=1)
     sel = first_true(hit, jnp.int32(0))
-    take = jnp.take_along_axis
-    ol_sel = take(ol, sel[:, None], axis=1)[:, 0]
-    diff_sel = take(full, sel[:, None], axis=1)[:, 0]
-    return found, sel, ol_sel, diff_sel
+    ol_sel = jnp.take_along_axis(ol, sel[:, None], axis=1)[:, 0]
+    return found, sel, ol_sel
 
 
 def _grouped_correlation(oh1: jnp.ndarray, oh2: jnp.ndarray) -> jnp.ndarray:
@@ -175,50 +180,69 @@ def analyze_mxu(seq1: jnp.ndarray, rlen1: jnp.ndarray,
 def analyze(seq1: jnp.ndarray, rlen1: jnp.ndarray,
             seq2: jnp.ndarray, rlen2: jnp.ndarray,
             diff_limit: int, overlap_require: int) -> OverlapResult:
-    """All-offsets overlap analysis via explicit [B, offsets, L] masked
-    comparison -- the production path (pure VPU: ~41ms per 4096x152 chunk on
-    v5e, vs ~10x slower for the grouped-conv MXU formulation above)."""
+    """All-offsets overlap analysis -- the production path.
+
+    The accept scan compares only the first COMPLETE_COMPARE_REQUIRE bases at
+    every offset ([B, offsets, 50] masked compare, see module docstring for
+    why that is exact), then the reported full diff is computed at the
+    selected offset alone with two per-row shifted gathers."""
     B, L1 = seq1.shape
     L2 = seq2.shape[1]
     L = max(L1, L2)
+    W = COMPLETE_COMPARE_REQUIRE
     rs2 = jnp.pad(reverse_complement(seq2, rlen2), ((0, 0), (0, L - L2)))
     s1 = jnp.pad(seq1, ((0, 0), (0, L - L1)))
     zero = jnp.zeros((B,), jnp.int32)
 
     # windows via STATIC slice stacking over a padded plane -- shifted reads
-    # at every offset with zero gathers (a [B, O, L] take_along_axis costs
-    # ~25ms/chunk on v5e; padded positions are masked by in_ol downstream)
-    def shifted_windows(x, O):
-        xp = jnp.pad(x, ((0, 0), (0, O)))
-        return jnp.stack([xp[:, o : o + L] for o in range(O)], axis=1)
+    # at every offset with zero gathers (padding bytes are masked by in_ol)
+    def shifted_windows50(x, O):
+        xp = jnp.pad(x, ((0, 0), (0, O + W)))
+        return jnp.stack([xp[:, o : o + W] for o in range(O)], axis=1)
+
+    def head50(x):
+        if L < W:
+            x = jnp.pad(x, ((0, 0), (0, W - L)))
+        return x[:, None, :W]
 
     # ---- phase 1: offset o >= 0; compare s1[o+i] vs rs2[i] ----
     O1 = max(L1 - overlap_require, 0)
     if O1 > 0:
         o_ax = positions(O1)[0]
-        s1_sh = shifted_windows(s1, O1)  # [B,O1,L]
+        s1_sh = shifted_windows50(s1, O1)  # [B,O1,W]
         ol1 = jnp.minimum(rlen1[:, None] - o_ax[None, :], rlen2[:, None])
         valid1 = o_ax[None, :] < (rlen1[:, None] - overlap_require)
-        found1, o1, ol_sel1, diff_sel1 = _phase_scan(
-            rs2[:, None, :], s1_sh, ol1, valid1, diff_limit)
+        found1, o1, ol_sel1 = _phase_scan50(
+            head50(rs2), s1_sh, ol1, valid1, diff_limit)
     else:
-        found1, o1, ol_sel1, diff_sel1 = jnp.zeros((B,), bool), zero, zero, zero
+        found1, o1, ol_sel1 = jnp.zeros((B,), bool), zero, zero
 
     # ---- phase 2: offset o <= 0 (j = -o); compare s1[i] vs rs2[j+i] ----
     O2 = max(L2 - overlap_require, 0)
     if O2 > 0:
         j_ax = positions(O2)[0]
-        rs2_sh = shifted_windows(rs2, O2)  # [B,O2,L]
+        rs2_sh = shifted_windows50(rs2, O2)  # [B,O2,W]
         ol2 = jnp.minimum(rlen1[:, None], rlen2[:, None] - j_ax[None, :])
         valid2 = j_ax[None, :] < (rlen2[:, None] - overlap_require)
-        found2, j2, ol_sel2, diff_sel2 = _phase_scan(
-            s1[:, None, :], rs2_sh, ol2, valid2, diff_limit)
+        found2, j2, ol_sel2 = _phase_scan50(
+            head50(s1), rs2_sh, ol2, valid2, diff_limit)
     else:
-        found2, j2, ol_sel2, diff_sel2 = jnp.zeros((B,), bool), zero, zero, zero
+        found2, j2, ol_sel2 = jnp.zeros((B,), bool), zero, zero
 
     overlapped = found1 | found2
     offset = jnp.where(found1, o1, -j2)
     overlap_len = jnp.where(found1, ol_sel1, jnp.where(found2, ol_sel2, 0))
-    diff = jnp.where(found1, diff_sel1, jnp.where(found2, diff_sel2, 0))
+
+    # full diff at the selected offset only: compare s1[i+max(o,0)] vs
+    # rs2[i+max(-o,0)] for i < overlap_len (two [B, L] gathers)
+    pos = positions(L)
+    sh1 = jnp.maximum(offset, 0)[:, None]
+    sh2 = jnp.maximum(-offset, 0)[:, None]
+    g1 = jnp.take_along_axis(s1, jnp.clip(pos + sh1, 0, L - 1), axis=1)
+    g2 = jnp.take_along_axis(rs2, jnp.clip(pos + sh2, 0, L - 1), axis=1)
+    diff = jnp.sum((g1 != g2) & (pos < overlap_len[:, None]),
+                   axis=1).astype(jnp.int32)
+
     offset = jnp.where(overlapped, offset, 0)
+    diff = jnp.where(overlapped, diff, 0)
     return OverlapResult(overlapped, offset, overlap_len, diff)

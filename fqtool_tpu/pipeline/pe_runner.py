@@ -293,16 +293,17 @@ class PairEndRunner:
         start1, start2 = process_umi(opt, pack1, pack2)
 
         if not self._rows:
-            # the jnp overlap analysis works over [rows, offsets, L]
-            # intermediates (~L^2 bytes per row); cap the chunk so long-read
-            # packs stay within a ~2 GiB working set.  The fused Pallas
-            # kernel (FQTOOL_TPU_PALLAS=1) holds one tile in VMEM instead,
-            # so full-size chunks stand for any read width.
+            # the jnp overlap analysis accept scan works over
+            # [rows, offsets, 50] intermediates (~50*L bytes per row plus
+            # bool temporaries); cap the chunk so very-long-read packs stay
+            # within a ~2 GiB working set.  The fused Pallas kernel
+            # (FQTOOL_TPU_PALLAS=1) holds one tile in VMEM instead, so
+            # full-size chunks stand for any read width.
             from ..ops import overlap_select
             width = max(pack1.width, pack2.width)
             cap = PE_CHUNK
             if not (overlap_select.use_pallas() and overlap_select.probe_pallas()):
-                while cap > 256 and cap * width * width > (1 << 31):
+                while cap > 256 and cap * width * 200 > (1 << 31):
                     cap //= 2
             self._rows = chunk_rows(B, cap)
         rows = self._rows
