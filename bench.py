@@ -27,15 +27,15 @@ TESTDATA = "/root/reference/testdata"
 
 # (name, baseline reads/s from BASELINE.md, reps, paired, n_records, argv)
 CONFIGS = [
-    ("se_qualtrim", 16_700, 3, False, 400_000,
+    ("se_qualtrim", 16_700, 5, False, 400_000,
      ["-q", "-f", "3", "-t", "2"]),
-    ("se_polygx", None, 2, False, 400_000,
+    ("se_polygx", None, 4, False, 400_000,
      ["-g", "-x"]),
-    ("se_adapter", 21_000, 2, False, 400_000,
+    ("se_adapter", 21_000, 4, False, 400_000,
      ["-a", "--adapter_of_read1", "AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"]),
-    ("pe_merge_corr", 20_600, 2, True, 100_000,
+    ("pe_merge_corr", 20_600, 4, True, 100_000,
      ["-m", "--merge_output", "merged.fq.gz", "-c"]),
-    ("pe_full", 10_000, 2, True, 100_000,
+    ("pe_full", 10_000, 4, True, 100_000,
      ["-q", "--kmer", "--kmer_length", "6", "-d", "-a", "--detect_pe_adapter"]),
 ]
 
