@@ -621,6 +621,39 @@ def format_array_records(select: np.ndarray,
     return b"".join(parts)
 
 
+def format_plane_array_records(select: np.ndarray,
+                               names_buf: bytes, name_off: np.ndarray, name_len: np.ndarray,
+                               strands_buf: bytes, strand_off: np.ndarray, strand_len: np.ndarray,
+                               planes, plane_id: np.ndarray, row_idx: np.ndarray,
+                               start: np.ndarray, out_len: np.ndarray,
+                               tags: Optional[Tuple[bytes, np.ndarray, np.ndarray]] = None) -> bytes:
+    """Materialize records whose content rows come from one of up to three
+    (seq, qual) matrix planes (native when available) -- the PE merged/failed
+    stream interleaves without a host-side [kn, max_width] copy."""
+    if not select.any():
+        return b""
+    if native.get_lib() is not None:
+        return native.format_plane_records(
+            select, names_buf, name_off, name_len,
+            strands_buf, strand_off, strand_len,
+            planes, plane_id, row_idx, start, out_len, tags)
+    parts = []
+    for i in np.flatnonzero(select):
+        s_mat, q_mat = planes[int(plane_id[i])]
+        r = int(row_idx[i])
+        tag = b""
+        if tags is not None and tags[2][i]:
+            tag = b" " + tags[0][tags[1][i]: tags[1][i] + tags[2][i]]
+        s = int(start[i])
+        n = int(out_len[i])
+        name = names_buf[name_off[i]: name_off[i] + name_len[i]]
+        strand = strands_buf[strand_off[i]: strand_off[i] + strand_len[i]]
+        parts.append(b"%s%s\n%s\n%s\n%s\n" % (
+            name, tag, s_mat[r, s : s + n].tobytes(), strand,
+            q_mat[r, s : s + n].tobytes()))
+    return b"".join(parts)
+
+
 def format_selected(pack: ReadPack, select: np.ndarray, start: np.ndarray,
                     out_len: np.ndarray,
                     seq: Optional[np.ndarray] = None,

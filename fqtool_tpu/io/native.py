@@ -80,6 +80,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _i32p, _i32p,
             ctypes.c_char_p, _i64p, _i32p,
             ctypes.c_char_p]
+        lib.fq_format_planes.restype = ctypes.c_int64
+        lib.fq_format_planes.argtypes = [
+            ctypes.c_int64, _u8p,
+            ctypes.c_char_p, _i64p, _i32p,
+            ctypes.c_char_p, _i64p, _i32p,
+            _u8p, _u8p, ctypes.c_int64,
+            _u8p, _u8p, ctypes.c_int64,
+            _u8p, _u8p, ctypes.c_int64,
+            _u8p, _i32p,
+            _i32p, _i32p,
+            ctypes.c_char_p, _i64p, _i32p,
+            ctypes.c_char_p]
         lib.gz_inflate_new.restype = ctypes.c_void_p
         lib.gz_inflate_new.argtypes = []
         lib.gz_inflate.restype = ctypes.c_int64
@@ -349,6 +361,63 @@ def pack_spans(buf: bytes, spans: dict, width: int, phred64: bool):
                 _ptr(np.ascontiguousarray(spans["qual_off"]), _i64p),
                 _ptr(seq, _u8p), _ptr(qual, _u8p), width, int(phred64))
     return seq, qual
+
+
+def format_plane_records(select: np.ndarray,
+                         names_buf: bytes, name_off: np.ndarray, name_len: np.ndarray,
+                         strands_buf: bytes, strand_off: np.ndarray, strand_len: np.ndarray,
+                         planes, plane_id: np.ndarray, row_idx: np.ndarray,
+                         start: np.ndarray, out_len: np.ndarray,
+                         tags: Optional[Tuple[bytes, np.ndarray, np.ndarray]] = None) -> bytes:
+    """Native record materialization where each record's content row comes
+    from one of up to three (seq, qual) matrix planes -- no interleaved copy.
+    ``planes``: list of up to 3 (seq, qual) uint8 matrices."""
+    lib = get_lib()
+    n = len(select)
+    sel = np.ascontiguousarray(select, np.uint8)
+    start = np.ascontiguousarray(start, np.int32)
+    out_len = np.ascontiguousarray(out_len, np.int32)
+    name_off = np.ascontiguousarray(name_off, np.int64)
+    name_len = np.ascontiguousarray(name_len, np.int32)
+    strand_off = np.ascontiguousarray(strand_off, np.int64)
+    strand_len = np.ascontiguousarray(strand_len, np.int32)
+    plane_id = np.ascontiguousarray(plane_id, np.uint8)
+    row_idx = np.ascontiguousarray(row_idx, np.int32)
+    if tags is not None:
+        tags_buf, tag_off, tag_len = tags
+        tag_off = np.ascontiguousarray(tag_off, np.int64)
+        tag_len = np.ascontiguousarray(tag_len, np.int32)
+        extra = np.where(tag_len > 0, tag_len + 1, 0)
+    else:
+        tags_buf, tag_off, tag_len = None, None, None
+        extra = 0
+    m = sel.astype(bool)
+    total = int(np.sum((name_len + 1 + out_len + 1 + strand_len + 1 + out_len + 1
+                        + extra)[m], dtype=np.int64))
+    out = ctypes.create_string_buffer(total)
+    args = []
+    keep = []  # hold contiguous copies alive across the C call
+    for k in range(3):
+        if k < len(planes) and planes[k] is not None:
+            s, q = planes[k]
+            s = np.ascontiguousarray(s)
+            q = np.ascontiguousarray(q)
+            keep += [s, q]
+            args += [_ptr(s, _u8p), _ptr(q, _u8p), s.shape[1]]
+        else:
+            args += [None, None, 0]
+    written = lib.fq_format_planes(
+        n, _ptr(sel, _u8p),
+        names_buf, _ptr(name_off, _i64p), _ptr(name_len, _i32p),
+        strands_buf, _ptr(strand_off, _i64p), _ptr(strand_len, _i32p),
+        *args,
+        _ptr(plane_id, _u8p), _ptr(row_idx, _i32p),
+        _ptr(start, _i32p), _ptr(out_len, _i32p),
+        tags_buf,
+        _ptr(tag_off, _i64p) if tag_off is not None else None,
+        _ptr(tag_len, _i32p) if tag_len is not None else None,
+        out)
+    return out.raw[:written]
 
 
 def format_records(select: np.ndarray,

@@ -285,6 +285,53 @@ int64_t fq_format(int64_t n, const uint8_t* select,
     return p - out;
 }
 
+// Like fq_format, but each record's seq/qual row comes from one of up to
+// three content planes (plane_id / row_idx per record).  Serves the PE
+// merged-stream (merged read OR kept r1 then r2 per pair,
+// reference: src/peprocessor.cpp:355-385) and the failed-stream pair
+// interleave (src/peprocessor.cpp:404-428) without materializing a
+// [3n, max_width] interleaved copy of the three sources on the host.
+int64_t fq_format_planes(
+    int64_t n, const uint8_t* select,
+    const char* names_buf, const int64_t* name_off, const int32_t* name_len,
+    const char* strands_buf, const int64_t* strand_off, const int32_t* strand_len,
+    const uint8_t* seq0, const uint8_t* qual0, int64_t width0,
+    const uint8_t* seq1, const uint8_t* qual1, int64_t width1,
+    const uint8_t* seq2, const uint8_t* qual2, int64_t width2,
+    const uint8_t* plane_id, const int32_t* row_idx,
+    const int32_t* start, const int32_t* out_len,
+    const char* tags_buf, const int64_t* tag_off, const int32_t* tag_len,
+    char* out) {
+    const uint8_t* seqs[3] = {seq0, seq1, seq2};
+    const uint8_t* quals[3] = {qual0, qual1, qual2};
+    const int64_t widths[3] = {width0, width1, width2};
+    char* p = out;
+    for (int64_t i = 0; i < n; ++i) {
+        if (!select[i]) continue;
+        memcpy(p, names_buf + name_off[i], (size_t)name_len[i]);
+        p += name_len[i];
+        if (tags_buf && tag_len[i]) {
+            *p++ = ' ';
+            memcpy(p, tags_buf + tag_off[i], (size_t)tag_len[i]);
+            p += tag_len[i];
+        }
+        *p++ = '\n';
+        const int pl = plane_id[i];
+        const int64_t base = (int64_t)row_idx[i] * widths[pl] + start[i];
+        int32_t l = out_len[i];
+        memcpy(p, seqs[pl] + base, (size_t)l);
+        p += l;
+        *p++ = '\n';
+        memcpy(p, strands_buf + strand_off[i], (size_t)strand_len[i]);
+        p += strand_len[i];
+        *p++ = '\n';
+        memcpy(p, quals[pl] + base, (size_t)l);
+        p += l;
+        *p++ = '\n';
+    }
+    return p - out;
+}
+
 // ---------------------------------------------------------------------------
 // adapter-detection seed histogram
 // ---------------------------------------------------------------------------

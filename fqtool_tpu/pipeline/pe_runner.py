@@ -25,7 +25,7 @@ from ..host.umi import process_umi
 from ..io.fastq import (AsyncWriter, ReadPack, format_record,
                         iter_packs_paired, prefetch_iter)
 from ..ops.filters import FAILED_TYPES, PASS_FILTER
-from ..io.fastq import format_array_records
+from ..io.fastq import format_array_records, format_plane_array_records
 from .pe import pe_packed_call, pe_pipeline_call
 from .runner import (SplitWriter, _TAG_BUF, _TAG_LEN, _TAG_OFF, chunk_rows,
                      drain_pipelined, index_filter_matches, loginfo,
@@ -421,16 +421,17 @@ class PairEndRunner:
         # correction diffs (device coordinates are front-aligned, so host
         # column = front + pos); base offsets stay in pack coordinates
         if "corr_pos1" in out:
-            mat1s = pack1.seq[lo : lo + n].copy()
-            mat1q = pack1.qual[lo : lo + n].copy()
-            mat2s = pack2.seq[lo : lo + n].copy()
-            mat2q = pack2.qual[lo : lo + n].copy()
-            _apply_patches(mat1s, mat1q, np.asarray(out["corr_pos1"])[:n],
-                           np.asarray(out["corr_seq1"])[:n],
-                           np.asarray(out["corr_qual1"])[:n], front1)
-            _apply_patches(mat2s, mat2q, np.asarray(out["corr_pos2"])[:n],
-                           np.asarray(out["corr_seq2"])[:n],
-                           np.asarray(out["corr_qual2"])[:n], front2)
+            with stage("pe_fold_patch"):
+                mat1s = pack1.seq[lo : lo + n].copy()
+                mat1q = pack1.qual[lo : lo + n].copy()
+                mat2s = pack2.seq[lo : lo + n].copy()
+                mat2q = pack2.qual[lo : lo + n].copy()
+                _apply_patches(mat1s, mat1q, np.asarray(out["corr_pos1"])[:n],
+                               np.asarray(out["corr_seq1"])[:n],
+                               np.asarray(out["corr_qual1"])[:n], front1)
+                _apply_patches(mat2s, mat2q, np.asarray(out["corr_pos2"])[:n],
+                               np.asarray(out["corr_seq2"])[:n],
+                               np.asarray(out["corr_qual2"])[:n], front2)
         else:
             mat1s = pack1.seq[lo : lo + n]
             mat1q = pack1.qual[lo : lo + n]
@@ -536,11 +537,12 @@ class PairEndRunner:
             # only rows actually written to the merged stream need content
             m_need = (both & mergeable & kchunk
                       & (resultM == PASS_FILTER))
-            m_seq, m_qual = _assemble_merged(
-                mat1s, mat1q, mat2s, mat2q, front1, front2, rlen2,
-                np.asarray(out["merged_offset"])[:n],
-                np.asarray(out["merged_ol"])[:n], m_len1, m_len2,
-                sel=m_need)
+            with stage("pe_fold_assemble"):
+                m_seq, m_qual = _assemble_merged(
+                    mat1s, mat1q, mat2s, mat2q, front1, front2, rlen2,
+                    np.asarray(out["merged_offset"])[:n],
+                    np.asarray(out["merged_ol"])[:n], m_len1, m_len2,
+                    sel=m_need)
 
         sampling = opt.over_rep.sampling if opt.over_rep.enabled else 0
         read_passed = 0
@@ -592,10 +594,11 @@ class PairEndRunner:
         self._post2_counter += len(idx2)
 
         if m_written.any() or (m_unm & (pass1v | pass2v)).any():
-            parts["merged"].append(self._format_merged_interleaved(
-                pack1, pack2, lo, n, m_written, m_unm & pass1v,
-                m_unm & pass2v, m_seq, m_qual, m_rlen, m_len1, m_len2,
-                mats, front1, front2, rlen1, rlen2))
+            with stage("pe_fold_format_merged"):
+                parts["merged"].append(self._format_merged_interleaved(
+                    pack1, pack2, lo, n, m_written, m_unm & pass1v,
+                    m_unm & pass2v, m_seq, m_qual, m_rlen, m_len1, m_len2,
+                    mats, front1, front2, rlen1, rlen2))
 
         # in merge mode the fallthrough pairs never advance the post
         # counters (peprocessor.cpp:387-400 guard), hence sampling=0
@@ -678,21 +681,12 @@ class PairEndRunner:
                                    mats, base1, base2, rlen1, rlen2) -> bytes:
         """Merged-stream records in pair order: merged read OR the unmerged
         kept r1 then r2 (peprocessor.cpp:355-385), as one 3-rows-per-pair
-        native format call."""
+        native plane-format call (content stays in the three source
+        matrices; no interleaved copy)."""
         mat1s, mat1q, mat2s, mat2q = mats
-        mseq = m_seq
-        mqual = m_qual
-        Wm, W1, W2 = mseq.shape[1], mat1s.shape[1], mat2s.shape[1]
-        W = max(Wm, W1, W2)
 
-        int_s = np.zeros((3 * n, W), np.uint8)
-        int_q = np.zeros((3 * n, W), np.uint8)
-        int_s[0::3, :Wm] = mseq
-        int_q[0::3, :Wm] = mqual
-        int_s[1::3, :W1] = mat1s
-        int_q[1::3, :W1] = mat1q
-        int_s[2::3, :W2] = mat2s
-        int_q[2::3, :W2] = mat2q
+        plane_id = np.tile(np.arange(3, dtype=np.uint8), n)
+        row_idx = np.repeat(np.arange(n, dtype=np.int32), 3)
 
         starts = np.zeros(3 * n, np.int32)
         starts[1::3] = base1
@@ -744,9 +738,11 @@ class PairEndRunner:
         sel[1::3] = sel1
         sel[2::3] = sel2
 
-        return format_array_records(sel, names_buf, name_off, name_len,
-                                    strands_buf, strand_off, strand_len,
-                                    int_s, int_q, starts, lens)
+        return format_plane_array_records(
+            sel, names_buf, name_off, name_len,
+            strands_buf, strand_off, strand_len,
+            [(m_seq, m_qual), (mat1s, mat1q), (mat2s, mat2q)],
+            plane_id, row_idx, starts, lens)
 
     def _format_failed_interleaved(self, pack1, pack2, lo, n, only1, only2,
                                    has_up, result1, result2, rlen1, rlen2,
@@ -755,9 +751,8 @@ class PairEndRunner:
                                    nb1, no1c, nl1c, sb1, so1c, sl1c,
                                    nb2, no2c, nl2c, sb2, so2c, sl2c) -> bytes:
         """Failed-stream records in pair order (or1 line then or2 line,
-        peprocessor.cpp:404-428) as one interleaved native format call."""
-        W1, W2 = mat1s.shape[1], mat2s.shape[1]
-        W = max(W1, W2)
+        peprocessor.cpp:404-428) as one native plane-format call (content
+        stays in the two source matrices; no interleaved copy)."""
         st1c = start1[lo : lo + n].astype(np.int32)
         st2c = start2[lo : lo + n].astype(np.int32)
 
@@ -775,12 +770,8 @@ class PairEndRunner:
         tag_off2 = np.where(only1, _TAG_OFF[result2], _PAIRED_OFF).astype(np.int64)
         tag_len2 = np.where(only1, _TAG_LEN[result2], _PAIRED_LEN).astype(np.int32)
 
-        int_s = np.zeros((2 * n, W), np.uint8)
-        int_q = np.zeros((2 * n, W), np.uint8)
-        int_s[0::2, :W1] = mat1s
-        int_q[0::2, :W1] = mat1q
-        int_s[1::2, :W2] = mat2s
-        int_q[1::2, :W2] = mat2q
+        plane_id = np.tile(np.arange(2, dtype=np.uint8), n)
+        row_idx = np.repeat(np.arange(n, dtype=np.int32), 2)
         # dropped reads were never corrected (correction needs both sides
         # alive), so the pack-coordinate matrices already hold their original
         # post-UMI content; only the (start, len) spans differ below.
@@ -819,10 +810,12 @@ class PairEndRunner:
         tag_off[1::2] = tag_off2
         tag_len[1::2] = tag_len2
 
-        return format_array_records(sel, names_buf, name_off, name_len,
-                                    strands_buf, strand_off, strand_len,
-                                    int_s, int_q, starts, lens,
-                                    tags=(_XTAG_BUF, tag_off, tag_len))
+        return format_plane_array_records(
+            sel, names_buf, name_off, name_len,
+            strands_buf, strand_off, strand_len,
+            [(mat1s, mat1q), (mat2s, mat2q)],
+            plane_id, row_idx, starts, lens,
+            tags=(_XTAG_BUF, tag_off, tag_len))
 
     @staticmethod
     def _orig_record(pack: ReadPack, i: int, start0: np.ndarray, tag: bytes) -> bytes:
