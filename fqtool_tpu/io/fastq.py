@@ -54,6 +54,10 @@ class ReadPack:
     # replacement name buffer (UMI tagging rewrites names wholesale);
     # name_off/name_len then index into it instead of ``buf``
     _name_buf: Optional[bytes] = field(default=None, repr=False)
+    # packed-transport encoding of (seq, qual) (ops/packed.py), computed in
+    # the prefetch thread when the link probe enables packing; None when
+    # packing is off or the content is outside the encodable alphabet
+    enc: Optional[np.ndarray] = field(default=None, repr=False)
 
     @property
     def count(self) -> int:

@@ -28,8 +28,8 @@ from ..ops.filters import FAILED_TYPES, PASS_FILTER
 from ..io.fastq import format_array_records, format_plane_array_records
 from .pe import pe_packed_call, pe_pipeline_call
 from .runner import (SplitWriter, _TAG_BUF, _TAG_LEN, _TAG_OFF, chunk_rows,
-                     drain_pipelined, index_filter_matches, loginfo,
-                     maybe_enable_sharding, pad_rows)
+                     drain_pipelined, encode_packs, index_filter_matches,
+                     loginfo, maybe_enable_sharding, pad_rows)
 
 # extended tag catalog: the fail-reason names plus the PE mate-fail tag
 _XTAG_BUF = _TAG_BUF + b"paired_read_is_failing"
@@ -197,9 +197,9 @@ class PairEndRunner:
         # some remote attachments deadlock with two program batches in flight)
         overlap = os.environ.get("FQTOOL_TPU_PACK_OVERLAP", "0") == "1"
         in_flight = None
-        for pack1, pack2 in prefetch_iter(iter_packs_paired(
+        for pack1, pack2 in prefetch_iter(encode_packs(iter_packs_paired(
                 opt.in1, opt.in2, opt.interleaved_input,
-                pack_reads, opt.phred64)):
+                pack_reads, opt.phred64))):
             submitted = self.submit_pack(pack1, pack2)
             if not overlap:
                 emit(submitted)
@@ -237,9 +237,9 @@ class PairEndRunner:
                    for name, path in streams if path}
         pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_PE_PACK_CHUNKS", "4")))
         pack_reads = min(opt.buf_size.max_reads_in_pack, PE_CHUNK * pack_chunks)
-        for gidx, pack1, pack2 in prefetch_iter(mh.iter_owned_pe(
+        for gidx, pack1, pack2 in prefetch_iter(encode_packs(mh.iter_owned_pe(
                 opt.in1, opt.in2, opt.interleaved_input,
-                pack_reads, opt.phred64)):
+                pack_reads, opt.phred64))):
             self._pre_counter = gidx * pack_reads
             self._record_base = gidx * pack_reads
             r = self.process_pack(pack1, pack2,
@@ -338,13 +338,12 @@ class PairEndRunner:
                           if opt.umi.enabled else -1,
                           start2_static=_uniform_offset(start2[lo:hi])
                           if opt.umi.enabled else -1)
-                # packed transport (ops/packed.py) halves upload bytes; a win
-                # only on slow host->device links, so a one-shot link probe
-                # decides (host/linkprobe.py; FQTOOL_TPU_PACKED=1/0 forces)
-                from ..ops.packed import encode_host
-                from ..host.linkprobe import use_packed
-                enc1 = encode_host(seq1, qual1) if use_packed() else None
-                enc2 = encode_host(seq2, qual2) if enc1 is not None else None
+                # packed transport: encodings attached per pack by
+                # encode_packs in the prefetch thread (link-probe gated)
+                enc1 = (pad_rows(pack1.enc[lo:hi], rows)
+                        if pack1.enc is not None else None)
+                enc2 = (pad_rows(pack2.enc[lo:hi], rows)
+                        if enc1 is not None and pack2.enc is not None else None)
                 if enc2 is not None:
                     call = pe_packed_call(enc1, lens1, enc2, lens2, *rest, **kw)
                 else:

@@ -29,7 +29,6 @@ from ..host.umi import process_umi
 from ..io.fastq import (AsyncWriter, OutputWriter, ReadPack, format_selected,
                         iter_packs, prefetch_iter)
 from ..ops.filters import FAILED_TYPES
-from ..ops.packed import encode_host
 from .se import se_packed_call, se_pipeline, se_pipeline_call
 
 # tag catalog for failed-stream suffixes: one buffer + per-code offsets
@@ -42,6 +41,25 @@ np.cumsum(_TAG_LEN[:-1], out=_TAG_OFF[1:])
 def failed_tags(results: np.ndarray):
     """(buf, off, len) tag triple for format_selected from result codes."""
     return _TAG_BUF, _TAG_OFF[results], _TAG_LEN[results]
+
+
+def encode_packs(it):
+    """Generator stage run inside the prefetch thread: attach the packed
+    transport encoding (ops/packed.py) to every ReadPack flowing through,
+    when the link probe enables packing.  The encode pass is independent of
+    the host prep (UMI rewrites names only; index filter reads names only),
+    so doing it here overlaps it with the previous pack's fold."""
+    from ..host.linkprobe import use_packed
+    from ..io.fastq import ReadPack
+    from ..ops.packed import encode_host
+
+    for item in it:
+        if use_packed():
+            packs = (item,) if isinstance(item, ReadPack) else item
+            for p in packs:
+                if isinstance(p, ReadPack):
+                    p.enc = encode_host(p.seq, p.qual)
+        yield item
 
 
 def drain_pipelined(pending):
@@ -339,8 +357,8 @@ class SingleEndRunner:
             writers["failed"] = mh.part_writer(opt.failed_out)
         pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_SE_PACK_CHUNKS", "1")))
         pack_reads = SE_CHUNK * pack_chunks
-        for gidx, pack in prefetch_iter(
-                mh.iter_owned_se(opt.in1, pack_reads, opt.phred64)):
+        for gidx, pack in prefetch_iter(encode_packs(
+                mh.iter_owned_se(opt.in1, pack_reads, opt.phred64))):
             # ORA pre-sampling strides over the GLOBAL stream order; packs are
             # fixed-size so the base index is pack_idx * pack_reads.  (Post
             # sampling stays per-host, the analog of the reference's
@@ -381,7 +399,8 @@ class SingleEndRunner:
         # host.  Intra-pack chunk dispatch is still asynchronous either way.
         overlap = os.environ.get("FQTOOL_TPU_PACK_OVERLAP", "0") == "1"
         in_flight = None
-        for pack in prefetch_iter(iter_packs(opt.in1, pack_reads, opt.phred64)):
+        for pack in prefetch_iter(encode_packs(
+                iter_packs(opt.in1, pack_reads, opt.phred64))):
             if not overlap:
                 emit(self.submit_pack(pack))
                 continue
@@ -434,12 +453,11 @@ class SingleEndRunner:
                       with_kmer=bool(opt.kmer.enabled),
                       start0_static=_uniform_offset(start0[lo:hi])
                       if opt.umi.enabled else -1)
-            # packed transport (ops/packed.py) halves upload bytes -- a win
-            # only when the host->device link is slow (WAN-tunneled chips),
-            # so a one-shot link probe decides (host/linkprobe.py;
-            # FQTOOL_TPU_PACKED=1/0 forces)
-            from ..host.linkprobe import use_packed
-            enc = encode_host(seq, qual) if use_packed() else None
+            # packed transport: the encoding is attached to the pack by
+            # encode_packs in the prefetch thread (link-probe gated); None
+            # when packing is off or the content is unencodable
+            enc = (pad_rows(pack.enc[lo:hi], rows)
+                   if pack.enc is not None else None)
             if enc is not None:
                 pending.append((n, se_packed_call(enc, *rest, **kw)))
             else:
