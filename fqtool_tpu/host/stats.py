@@ -251,8 +251,11 @@ class StatsAccumulator:
                 for i in range(len(self.kmer))
             }
         if self.over_rep_sampling:
-            out["OverrepresentedSequences"] = {
+            ora = {
                 s: int(c) for s, c in sorted(self.over_rep_count.items())
                 if self.over_rep_passed(s, c)
             }
+            # nlohmann parity: a default-constructed json stays null when no
+            # entry passes (stats.cpp:419-427 operator[] never runs)
+            out["OverrepresentedSequences"] = ora if ora else None
         return out
