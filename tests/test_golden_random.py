@@ -44,7 +44,7 @@ def gen_fastq(path: Path, n: int, seed: int, paired_with: Path | None = None):
 import os
 
 
-def check(oracle, tmp_path, args, outputs):
+def check(oracle, tmp_path, args, outputs, fixup=None):
     ours_dir = tmp_path / "ours"
     oracle_dir = tmp_path / "oracle"
     res = oracle.run(args + ["-w", "1"], oracle_dir)
@@ -55,7 +55,10 @@ def check(oracle, tmp_path, args, outputs):
         assert not d, f"{name}: " + "\n".join(d)
     with open(ours_dir / "report.json") as f:
         ours_json = json.load(f)
-    diffs = compare_json(ours_json, res.json_report())
+    oracle_json = res.json_report()
+    if fixup is not None:
+        ours_json, oracle_json = fixup(ours_json), fixup(oracle_json)
+    diffs = compare_json(ours_json, oracle_json)
     assert not diffs, "\n".join(diffs[:40])
 
 
