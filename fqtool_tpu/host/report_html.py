@@ -391,7 +391,9 @@ def write_report(opt: Options, fresult: FilterResultAccumulator,
     parts.append(_section("Before filtering", "before_filtering", pre_body))
 
     post_body = _stats_sections(post1, "After filtering", "read1")
-    if post2 is not None and not opt.merge_pe.enabled:
+    # emitted in merge mode too (unmerged-kept r2 reads are statted into
+    # postStats2; htmlreporter.cpp:65-69 has no merge guard)
+    if post2 is not None:
         post_body += _stats_sections(post2, "After filtering", "read2")
     parts.append(_section("After filtering", "after_filtering", post_body))
 

@@ -98,3 +98,13 @@ def test_html_dom_pe(oracle, tmp_path):
            ["-i", str(R1), "-I", str(R2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
             "-q", "-d", "-c", "-a", "--detect_pe_adapter"],
            skip_dup_script=False)
+
+
+def test_html_dom_pe_merge(oracle, tmp_path):
+    """PE merge mode: the MergedAndFiltered section naming, merged-read
+    curves, insert-size plot, and correction counters in the filtering
+    table."""
+    _check(oracle, tmp_path,
+           ["-i", str(R1), "-I", str(R2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
+            "-m", "--merge_output", "merged.fq.gz", "-c", "-q"],
+           skip_dup_script=False)
