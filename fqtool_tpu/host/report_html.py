@@ -115,7 +115,10 @@ def _stats_sections(st: StatsAccumulator, filtering: str, read_name: str) -> str
     cycles = sm["cycles"]
     long_read = cycles > 300
     xs = _downsample_x(cycles, long_read)
-    idx = [x - 1 for x in xs]
+    # reference quirk: y is the FIRST len(xs) curve values, not the curve
+    # sampled at the downsampled x positions (list2string(curve, total),
+    # stats.cpp:675,680 -- long-read plots pair x[i] with curve[cycle i+1])
+    idx = list(range(len(xs)))
     out = []
 
     # quality curves
@@ -137,7 +140,7 @@ def _stats_sections(st: StatsAccumulator, filtering: str, read_name: str) -> str
     sub = f"{filtering}: {read_name}: base contents"
     div = sub.replace(" ", "_").replace(":", "_")
     colors6 = colors[:4] + ["rgba(255, 0, 0, 1.0)", "rgba(20,20,20,1.0)"]
-    bases_total = sm["bases"] or 1
+    bases_total = sm["bases"]
     series = []
     from .stats import BIN_OF
     for b, c in zip(["A", "T", "C", "G", "N", "GC"], colors6):
@@ -145,7 +148,12 @@ def _stats_sections(st: StatsAccumulator, filtering: str, read_name: str) -> str
             count = int(sm["base_contents"][BIN_OF[b]])
         else:
             count = int(sm["base_contents"][BIN_OF["G"]] + sm["base_contents"][BIN_OF["C"]])
-        pct = f"{count * 100.0 / bases_total:.6f}"[:5]
+        if bases_total == 0:
+            # reference: std::to_string(0*100.0/0).substr(0,5) == "-nan"
+            # (x86 0.0/0.0 yields the sign-bit-set quiet NaN)
+            pct = "-nan"
+        else:
+            pct = f"{count * 100.0 / bases_total:.6f}"[:5]
         series.append((f"{b}({pct}%)", [sm["content_curves"][b][i] for i in idx], c))
     out.append(
         f"<div class='section_div'><div class='subsection_title'>"

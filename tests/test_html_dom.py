@@ -108,3 +108,21 @@ def test_html_dom_pe_merge(oracle, tmp_path):
            ["-i", str(R1), "-I", str(R2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
             "-m", "--merge_output", "merged.fq.gz", "-c", "-q"],
            skip_dup_script=False)
+
+
+def test_html_dom_long_reads(oracle, tmp_path):
+    """SE long reads (>300 cycles): the log-scale downsampled curve x-axes
+    (stats.cpp:642-669) compared numerically against the oracle."""
+    import random
+    rng = random.Random(5)
+    fq = tmp_path / "long.fq"
+    with open(fq, "wb") as f:
+        for i in range(400):
+            n = rng.choice([310, 384, 441, 500])
+            seq = "".join(rng.choices("ACGTN", weights=[24, 24, 24, 24, 2], k=n))
+            qual = "".join(chr(rng.randint(33, 73)) for _ in range(n))
+            f.write(f"@L{i}:1:2 1:N:0:AC\n{seq}\n+\n{qual}\n".encode())
+    _check(oracle, tmp_path,
+           ["-i", str(fq), "-o", "out.fq.gz", "-q", "--kmer",
+            "--kmer_length", "4"],
+           skip_dup_script=True)
