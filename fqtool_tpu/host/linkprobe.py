@@ -9,10 +9,13 @@ analog -- its reader hands strings to pthread workers in the same address
 space, src/fqreader.cpp:160-195).
 
 ``use_packed()`` decides once per process: ``FQTOOL_TPU_PACKED=1/0``
-forces the choice, otherwise a one-shot 4 MiB device_put + fetch measures
-the link and enables packing below ``PACKED_THRESHOLD_MBPS`` of combined
-roundtrip bandwidth.  The probe is pure transfer -- no jit compilation --
-so it costs milliseconds locally and well under a second on slow tunnels.
+forces the choice, otherwise a one-shot 4 MiB probe isolates the H2D
+upload bandwidth (packing only reduces upload bytes) and enables packing
+below ``PACKED_THRESHOLD_MBPS``.  The threshold is the measured breakeven:
+the LUT encode runs at ~360 MB/s of input and saves one of every two
+uploaded bytes, so packing wins when upload is slower than ~180 MB/s.
+The probe is pure transfer -- no jit compilation -- so it costs
+milliseconds locally and well under a second on slow tunnels.
 """
 
 from __future__ import annotations
@@ -23,22 +26,33 @@ import time
 
 import numpy as np
 
-PACKED_THRESHOLD_MBPS = 400.0
+PACKED_THRESHOLD_MBPS = 200.0
 _PROBE_BYTES = 4 << 20
 
 _cached: bool | None = None
 
 
 def _probe_mbps() -> float:
+    """Estimated host->device upload bandwidth in MB/s.
+
+    Packing only reduces upload bytes, so the gate must measure H2D alone:
+    the first materialization of a device_put pays upload+download, a second
+    fetch of the same (now device-resident) buffer pays download only, and
+    the difference isolates the upload.  No jit compilation involved.
+    """
     import jax
 
     buf = np.zeros((_PROBE_BYTES,), np.uint8)
     # warm the transfer path (lazy backend init, pinned buffers)
     np.asarray(jax.device_put(buf))
     t0 = time.perf_counter()
-    np.asarray(jax.device_put(buf))
-    dt = max(time.perf_counter() - t0, 1e-9)
-    return (2 * _PROBE_BYTES / (1 << 20)) / dt
+    dev = jax.device_put(buf)
+    np.asarray(dev)              # upload + download
+    t1 = time.perf_counter()
+    np.asarray(dev)              # download only
+    t2 = time.perf_counter()
+    up = max((t1 - t0) - (t2 - t1), 1e-9)
+    return (_PROBE_BYTES / (1 << 20)) / up
 
 
 def use_packed() -> bool:
@@ -58,6 +72,6 @@ def use_packed() -> bool:
         _cached = mbps < PACKED_THRESHOLD_MBPS
         if _cached:
             sys.stderr.write(
-                f"[fqtool_tpu] link probe {mbps:.0f} MB/s roundtrip -> "
+                f"[fqtool_tpu] link probe {mbps:.0f} MB/s upload -> "
                 "packed transport enabled\n")
     return _cached

@@ -84,7 +84,11 @@ def drain_pipelined(pending):
                 fut = ex.submit(pending[k + 1][-1].get)
             yield item[:-1] + (out,)
     finally:
-        ex.shutdown(wait=False)
+        # join the in-flight fetch even on error/abandonment: leaving it
+        # running would put a transfer in flight concurrently with whatever
+        # the caller's unwind path does next (the attachment tolerates only
+        # one), and the non-daemon worker would block interpreter exit
+        ex.shutdown(wait=True)
 
 
 # Fixed device batch sizes: every kernel invocation uses one of these row

@@ -118,7 +118,9 @@ def test_fuzz_pe(oracle, tmp_path, seed):
         argv += ["-m", "--merge_output", "merged.fq.gz"]
         if rng.random() < 0.3:
             argv += ["--discard_unmerged"]
-        outputs = ["merged.fq.gz", "failed.fq.gz"]
+        # o1/o2 stay in the comparison: merge mode must leave them with the
+        # reference's (empty) content, not silently diverge
+        outputs = ["merged.fq.gz", "failed.fq.gz", "o1.fq.gz", "o2.fq.gz"]
     else:
         argv += ["--unpaired_read1", "up1.fq.gz", "--unpaired_read2", "up2.fq.gz"]
         outputs += ["up1.fq.gz", "up2.fq.gz"]

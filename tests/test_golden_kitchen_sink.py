@@ -4,28 +4,11 @@ the op-order interactions of the reference pipeline
 
 from __future__ import annotations
 
-import json
-
-from .oracle import TESTDATA, compare_json, diff_fastq, read_fastq
-from .test_golden_se import run_ours
+from .oracle import TESTDATA
+from .test_golden_random import check
 
 R1 = TESTDATA / "r1.fq.gz"
 R2 = TESTDATA / "r2.fq.gz"
-
-
-def check(oracle, tmp_path, args, outputs):
-    ours_dir = tmp_path / "ours"
-    oracle_dir = tmp_path / "oracle"
-    res = oracle.run(args + ["-w", "1"], oracle_dir)
-    assert res.returncode == 0, res.stderr
-    run_ours(args, ours_dir)
-    for name in outputs:
-        d = diff_fastq(read_fastq(ours_dir / name), read_fastq(oracle_dir / name))
-        assert not d, f"{name}: " + "\n".join(d)
-    with open(ours_dir / "report.json") as f:
-        ours_json = json.load(f)
-    diffs = compare_json(ours_json, res.json_report())
-    assert not diffs, "\n".join(diffs[:40])
 
 
 def test_se_everything(oracle, tmp_path):
