@@ -179,6 +179,12 @@ class SkippedPack:
         self.count = count
 
 
+class FastqIOError(Exception):
+    """Unreadable input stream (corrupt gzip, IO failure).  The reference
+    prints "Error to read gzip file" and then crashes on the dead stream
+    (fqreader.cpp:35-38); we print the same message and exit cleanly."""
+
+
 class _RawStream:
     """Chunked reader over a possibly-gzipped (multi-member) file.
 
@@ -222,8 +228,15 @@ class _RawStream:
     def read_chunk(self) -> bytes:
         if not self._gz:
             return self._fh.read(_READ_CHUNK)
-        if self._inf is not None:
-            return self._read_native()
+        try:
+            if self._inf is not None:
+                return self._read_native()
+            return self._read_py()
+        except (zlib.error, RuntimeError) as e:
+            raise FastqIOError(
+                f"Error to read gzip file: {self.path} ({e})") from e
+
+    def _read_py(self) -> bytes:
         out = []
         total = 0
         while total < _READ_CHUNK:
@@ -347,6 +360,18 @@ class PackReader:
 def iter_records(path: str) -> Iterator[Tuple[bytes, bytes, bytes, bytes]]:
     """Yield (name, seq, strand, qual) raw byte tuples from a FASTQ file
     (pure Python; reference semantics fqreader.cpp:160-195)."""
+    try:
+        yield from _iter_records(path)
+    except EOFError:
+        # truncated stream: the reference's gzread returns what it has and
+        # the run continues with the records read so far (fqreader.cpp:35-43)
+        return
+    except (zlib.error, OSError) as e:
+        # corrupt stream (gzip.BadGzipFile is an OSError subclass)
+        raise FastqIOError(f"Error to read gzip file: {path} ({e})") from e
+
+
+def _iter_records(path: str) -> Iterator[Tuple[bytes, bytes, bytes, bytes]]:
     if path == "/dev/stdin":
         fh = sys.stdin.buffer
     elif path.endswith(".gz"):

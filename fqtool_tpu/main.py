@@ -63,10 +63,11 @@ def run(opt: Options) -> None:
 
 def main(argv: Optional[List[str]] = None) -> int:
     from .config.options import OptionError
+    from .io.fastq import FastqIOError
     try:
         opt = parse_args(argv)
         run(opt)
-    except OptionError as e:
+    except (OptionError, FastqIOError) as e:
         # reference: util::errorExit prints and exits -1 (util.h:303-306)
         sys.stderr.write(f"error: {e}\n")
         return 255

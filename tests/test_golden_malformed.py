@@ -50,3 +50,34 @@ def test_garbage_lines_between_records(oracle, tmp_path):
             f.write(b"\n".join(rec) + b"\n")
     check(oracle, tmp_path, ["-i", str(fq), "-o", "out.fq.gz", "-q"],
           ["out.fq.gz"])
+
+
+def test_corrupt_gzip_clean_error(tmp_path):
+    """Corrupt gzip body: the reference prints "Error to read gzip file" and
+    then segfaults on the dead stream (not reproduced); we print the same
+    message and exit 255 cleanly, on both codec paths."""
+    import subprocess, sys, os
+    data = (TESTDATA / "r1.fq.gz").read_bytes()
+    c = bytearray(data)
+    c[5000] ^= 0xFF
+    (tmp_path / "corrupt.fq.gz").write_bytes(bytes(c))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    root = str(Path(__file__).resolve().parents[1])
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    for extra in ({}, {"FQTOOL_TPU_NO_NATIVE": "1"}):
+        r = subprocess.run(
+            [sys.executable, "-m", "fqtool_tpu.main", "-i", "corrupt.fq.gz",
+             "-o", "out.fq.gz"],
+            cwd=tmp_path, env=env | extra, capture_output=True, text=True)
+        assert r.returncode == 255, r.stderr
+        assert "Error to read gzip file" in r.stderr
+
+
+def test_truncated_gzip_golden(oracle, tmp_path):
+    """Truncated gzip member: both sides process the records that decompress
+    and stop at the partial record (fqreader tolerates short reads)."""
+    data = (TESTDATA / "r1.fq.gz").read_bytes()
+    (tmp_path / "trunc.fq.gz").write_bytes(data[: len(data) // 2])
+    check(oracle, tmp_path,
+          ["-i", str(tmp_path / "trunc.fq.gz"), "-o", "out.fq.gz", "-q"],
+          ["out.fq.gz"])
