@@ -42,7 +42,8 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from ..io.fastq import OutputWriter, PackReader, _truncate_pack, iter_packs_paired
+from ..io.fastq import (FastqIOError, OutputWriter, PackReader,
+                        _truncate_pack, iter_packs_paired, prefetch_iter)
 
 _ctx: Optional["MultihostContext"] = None
 _inited = False
@@ -135,6 +136,10 @@ class MultihostContext:
                 if time.monotonic() > deadline:
                     raise
                 time.sleep(0.2)
+        # the connect timeout must not persist: rank 0 legitimately takes
+        # minutes between gather and broadcast (it merges every output
+        # stream), and large gather sends can outlive 10s of kernel buffer
+        self._sock.settimeout(None)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         _send(self._sock, self.rank)
 
@@ -180,32 +185,57 @@ class MultihostContext:
     def iter_owned_pe(self, path1: str, path2: str, interleaved: bool,
                       pack_reads: int, phred64: bool):
         if interleaved:
+            # interleaved input is one stream: every rank parses every pack
+            # (no per-side skip path exists), ownership only filters -- the
+            # input stage does not scale with hosts in this mode
             it = iter_packs_paired(path1, path2, True, pack_reads, phred64)
             for gidx, (p1, p2) in enumerate(it):
                 if self.owns(gidx):
                     yield gidx, p1, p2
             return
-        rd1 = PackReader(path1, pack_reads, phred64)
-        rd2 = PackReader(path2, pack_reads, phred64)
+        # one decode thread per side, mirroring iter_packs_paired: R1 and R2
+        # gzip inflation + tokenization run in parallel (zlib releases the
+        # GIL); ownership skips still avoid matrix builds for foreign packs
+        def side(path):
+            rd = PackReader(path, pack_reads, phred64)
+
+            def gen():
+                g = 0
+                try:
+                    while True:
+                        p = rd.next_pack(skip=not self.owns(g))
+                        if p is None:
+                            return
+                        yield p
+                        g += 1
+                finally:
+                    rd.close()
+            return prefetch_iter(gen(), depth=2)
+
+        it1, it2 = side(path1), side(path2)
         gidx = 0
-        while True:
-            own = self.owns(gidx)
-            p1 = rd1.next_pack(skip=not own)
-            p2 = rd2.next_pack(skip=not own)
-            if p1 is None or p2 is None:
-                return
-            n = min(p1.count, p2.count)
-            if n == 0:
-                return
-            mismatch = p1.count != p2.count
-            if own:
-                if mismatch:
-                    yield gidx, _truncate_pack(p1, n), _truncate_pack(p2, n)
-                    return  # shorter stream exhausted (fqreader.cpp:254-267)
-                yield gidx, p1, p2
-            elif mismatch:
-                return
-            gidx += 1
+        try:
+            while True:
+                p1 = next(it1, None)
+                p2 = next(it2, None)
+                if p1 is None or p2 is None:
+                    return
+                n = min(p1.count, p2.count)
+                if n == 0:
+                    return
+                mismatch = p1.count != p2.count
+                if self.owns(gidx):
+                    if mismatch:
+                        yield (gidx, _truncate_pack(p1, n),
+                               _truncate_pack(p2, n))
+                        return  # shorter stream exhausted (fqreader.cpp:254-267)
+                    yield gidx, p1, p2
+                elif mismatch:
+                    return
+                gidx += 1
+        finally:
+            it1.close()
+            it2.close()
 
     # -- output parts ----------------------------------------------------
     def part_writer(self, final_path: str) -> "PartStreamWriter":
@@ -217,16 +247,26 @@ class MultihostContext:
         through one compressed writer -- final bytes identical to the
         single-process run."""
         paths = [_part_path(final_path, r) for r in range(self.world)]
-        handles = [open(p, "rb") if os.path.exists(p) else None for p in paths]
         entries = sorted(
             (pidx, r, ln)
             for r, idx in enumerate(indexes_by_rank) for pidx, ln in idx)
-        with OutputWriter(final_path, compression) as w:
-            for _pidx, r, ln in entries:
-                w.write(handles[r].read(ln))
-        for h, p in zip(handles, paths):
-            if h is not None:
+        handles: dict = {}
+        try:
+            with OutputWriter(final_path, compression) as w:
+                for _pidx, r, ln in entries:
+                    h = handles.get(r)
+                    if h is None:
+                        if not os.path.exists(paths[r]):
+                            raise FastqIOError(
+                                f"multihost merge: missing part file "
+                                f"{paths[r]} (all ranks must write to a "
+                                "shared filesystem)")
+                        h = handles[r] = open(paths[r], "rb")
+                    w.write(h.read(ln))
+        finally:
+            for h in handles.values():
                 h.close()
+        for p in paths:
             if os.path.exists(p):
                 os.unlink(p)
 

@@ -201,9 +201,9 @@ class _RawStream:
             self._fh = open(path, "rb", buffering=1 << 20)
             self._close = True
         self._gz = path.endswith(".gz")
+        # only constructed when the native lib loaded (PackReader guards),
+        # so the native inflater is always available for gz inputs
         self._inf = native.make_inflater() if self._gz else None
-        self._z = (zlib.decompressobj(wbits=47)
-                   if self._gz and self._inf is None else None)
         self._raw_eof = False
 
     def _read_native(self) -> bytes:
@@ -229,39 +229,10 @@ class _RawStream:
         if not self._gz:
             return self._fh.read(_READ_CHUNK)
         try:
-            if self._inf is not None:
-                return self._read_native()
-            return self._read_py()
+            return self._read_native()
         except (zlib.error, RuntimeError) as e:
             raise FastqIOError(
                 f"Error to read gzip file: {self.path} ({e})") from e
-
-    def _read_py(self) -> bytes:
-        out = []
-        total = 0
-        while total < _READ_CHUNK:
-            if self._z.eof:
-                tail = self._z.unused_data
-                self._z = zlib.decompressobj(wbits=47)
-                if tail:
-                    d = self._z.decompress(tail, _READ_CHUNK)
-                    out.append(d)
-                    total += len(d)
-                    continue
-            if self._z.unconsumed_tail:
-                d = self._z.decompress(self._z.unconsumed_tail, _READ_CHUNK)
-                out.append(d)
-                total += len(d)
-                continue
-            raw = self._fh.read(1 << 20)
-            if not raw:
-                self._raw_eof = True
-                out.append(self._z.flush())
-                break
-            d = self._z.decompress(raw, _READ_CHUNK)
-            out.append(d)
-            total += len(d)
-        return b"".join(out)
 
     def close(self):
         if self._close:
@@ -304,6 +275,12 @@ class PackReader:
             return None
         return pack
 
+    def close(self) -> None:
+        if self._use_native:
+            self._stream.close()
+        else:
+            self._py_iter.close()
+
     # ------------------------------------------------------------------
     def _next_native(self, skip: bool = False):
         if self._err:
@@ -331,10 +308,9 @@ class PackReader:
                 if skip:
                     return SkippedPack(n)
                 return self._make_native_pack(buf, n, spans)
-            # not enough data parsed yet: read more
+            # not enough data parsed yet: read more (the loop condition
+            # already returned above when _eof was set)
             want = int(want * 1.5) + (1 << 20)
-            if self._eof:
-                return None
 
     def _make_native_pack(self, buf: bytes, n: int, spans: dict) -> ReadPack:
         lens = spans["seq_len"].astype(np.int32)
@@ -409,11 +385,14 @@ def _iter_records(path: str) -> Iterator[Tuple[bytes, bytes, bytes, bytes]]:
 def iter_packs(path: str, pack_reads: int = DEFAULT_PACK_READS, phred64: bool = False,
                width_multiple: int = 8) -> Iterator[ReadPack]:
     reader = PackReader(path, pack_reads, phred64, width_multiple)
-    while True:
-        pack = reader.next_pack()
-        if pack is None:
-            return
-        yield pack
+    try:
+        while True:
+            pack = reader.next_pack()
+            if pack is None:
+                return
+            yield pack
+    finally:
+        reader.close()
 
 
 def iter_packs_paired(path1: str, path2: str, interleaved: bool = False,
@@ -455,28 +434,37 @@ def iter_packs_paired(path1: str, path2: str, interleaved: bool = False,
     # in parallel (zlib releases the GIL) instead of serially in one thread
     def packs_of(rd):
         def gen():
-            while True:
-                p = rd.next_pack()
-                if p is None:
-                    return
-                yield p
+            try:
+                while True:
+                    p = rd.next_pack()
+                    if p is None:
+                        return
+                    yield p
+            finally:
+                rd.close()
         return prefetch_iter(gen(), depth=2)
 
     it1, it2 = packs_of(rd1), packs_of(rd2)
-    while True:
-        p1 = next(it1, None)
-        p2 = next(it2, None)
-        if p1 is None or p2 is None:
-            return
-        n = min(p1.count, p2.count)
-        if n == 0:
-            return
-        if p1.count != p2.count:
-            p1 = _truncate_pack(p1, n)
-            p2 = _truncate_pack(p2, n)
+    try:
+        while True:
+            p1 = next(it1, None)
+            p2 = next(it2, None)
+            if p1 is None or p2 is None:
+                return
+            n = min(p1.count, p2.count)
+            if n == 0:
+                return
+            if p1.count != p2.count:
+                p1 = _truncate_pack(p1, n)
+                p2 = _truncate_pack(p2, n)
+                yield p1, p2
+                return  # shorter stream exhausted
             yield p1, p2
-            return  # shorter stream exhausted
-        yield p1, p2
+    finally:
+        # early returns (mismatch, shorter stream) abandon the other side's
+        # prefetch thread otherwise: close() unwinds it and the PackReader
+        it1.close()
+        it2.close()
 
 
 def _truncate_pack(p: ReadPack, n: int) -> ReadPack:
@@ -565,13 +553,31 @@ class AsyncWriter:
                 return
 
     def write(self, data: bytes) -> None:
+        import queue
         if self._exc:
             raise self._exc
-        if data:
-            self._q.put(data)
+        if not data:
+            return
+        while True:
+            try:
+                self._q.put(data, timeout=0.5)
+                return
+            except queue.Full:
+                # a dead writer thread leaves the queue full forever
+                if self._exc:
+                    raise self._exc
+                if not self._thread.is_alive():
+                    raise RuntimeError(
+                        f"writer thread for {self.path} died")
 
     def close(self) -> None:
-        self._q.put(self._SENTINEL)
+        import queue
+        while self._thread.is_alive() and not self._exc:
+            try:
+                self._q.put(self._SENTINEL, timeout=0.2)
+                break
+            except queue.Full:
+                continue
         self._thread.join()
         if self._exc:
             raise self._exc
@@ -593,25 +599,53 @@ def prefetch_iter(it, depth: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     END = object()
     box = {}
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
+                if not put(item):
+                    return
         except BaseException as e:
             box["exc"] = e
         finally:
-            q.put(END)
+            close = getattr(it, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except BaseException:
+                    pass
+            put(END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is END:
-            if "exc" in box:
-                raise box["exc"]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is END:
+                if "exc" in box:
+                    raise box["exc"]
+                return
+            yield item
+    finally:
+        # abandoned consumer (early return / exception downstream): unblock
+        # the worker, let it close the source, and join it
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=10)
 
 
 def format_record(name: bytes, seq: bytes, strand: bytes, qual: bytes,

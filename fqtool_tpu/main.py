@@ -71,6 +71,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         # reference: util::errorExit prints and exits -1 (util.h:303-306)
         sys.stderr.write(f"error: {e}\n")
         return 255
+    except ConnectionError as e:
+        # a multihost peer died (e.g. clean FastqIOError exit on its rank):
+        # fail this rank cleanly instead of dumping a socket traceback
+        sys.stderr.write(f"error: multihost peer failure: {e}\n")
+        return 255
     return 0
 
 
