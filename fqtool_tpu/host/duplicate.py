@@ -202,16 +202,9 @@ class DuplicateTable:
         # note the reference's binning quirk: count > histSize -> last bin,
         # otherwise bin index = count (so bin histSize-1 aggregates both
         # count == histSize-1 and count > histSize... no: count == histSize
-        # lands at hist[histSize] which is out of range in C++?  No --
-        # ``if(count > histSize)`` uses the LAST bin, else ``++hist[count]``
-        # with count <= histSize; count == histSize would overflow, but the
-        # reference allocates histSize entries and indexes hist[count] for
-        # count < histSize only when count <= histSize - 1.  We replicate the
-        # in-range arithmetic: count > histSize -> histSize-1; count ==
-        # histSize also -> histSize-1 to stay in bounds (the C++ writes out of
-        # bounds in that case -- undefined behavior we do not copy).
-        bins = np.where(counts > hist_size, hist_size - 1,
-                        np.minimum(counts, hist_size - 1))
+        # clamp to the last bin (duplicate.cpp:148-156; count == histSize
+        # writes out of bounds in the C++ -- UB we do not copy, see PARITY.md)
+        bins = np.minimum(counts, hist_size - 1)
         np.add.at(hist, bins, 1)
         np.add.at(mean_gc, bins, gc)
         np.add.at(gc_num, bins, 1)

@@ -190,6 +190,9 @@ def _hash_ctx(flat: np.ndarray, primes=_ORS_PRIMES):
     """Per-prime (weighted cumsum, inverse powers): one pass over the corpus,
     after which window hashes of ANY length are O(windows)."""
     n = len(flat)
+    if n == 0:
+        return [(np.zeros(0, np.uint64), np.zeros(0, np.uint64))
+                for _ in primes]
     ctx = []
     with np.errstate(over="ignore"):
         f = flat.astype(np.uint64)

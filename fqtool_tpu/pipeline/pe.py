@@ -247,8 +247,7 @@ def pe_pipeline(
             out["postM_kmer"] = ops_stats.kmer_counts(mg.seq, mg.rlen, p.kmer_len, select=sel_m)
             out["post1_kmer"] = ops_stats.kmer_counts(seq1, rlen1, p.kmer_len, select=sel1)
             out["post2_kmer"] = ops_stats.kmer_counts(seq2, rlen2, p.kmer_len, select=sel2)
-        # merged offset feeds host-side merged-record assembly
-        out["merged_offset"] = ov2.offset.astype(jnp.int16)
+        # overlap length feeds host-side merged-record assembly
         out["merged_ol"] = ov2.overlap_len.astype(jnp.int16)
     else:
         sel = pass1 & pass2 & keep & both

@@ -22,9 +22,9 @@ from ..host.filterresult import FilterResultAccumulator
 from ..host.stats import StatsAccumulator
 from ..host.tracing import stage
 from ..host.umi import process_umi
-from ..io.fastq import (AsyncWriter, ReadPack, format_record,
+from ..io.fastq import (AsyncWriter, ReadPack,
                         iter_packs_paired, prefetch_iter)
-from ..ops.filters import FAILED_TYPES, PASS_FILTER
+from ..ops.filters import PASS_FILTER
 from ..io.fastq import format_array_records, format_plane_array_records
 from .pe import pe_packed_call, pe_pipeline_call
 from .runner import (SplitWriter, _TAG_BUF, _TAG_LEN, _TAG_OFF, chunk_rows,
@@ -62,7 +62,7 @@ def _apply_patches(mat_s: np.ndarray, mat_q: np.ndarray, pos: np.ndarray,
 
 
 def _assemble_merged(mat1s, mat1q, mat2s, mat2q, front1, front2, rlen2,
-                     offset, ol, len1, len2, sel=None):
+                     ol, len1, len2, sel=None):
     """Host-side merged-read construction (overlapanalysis.cpp:74-104):
     merged = r1[0:len1] ++ revcomp(r2)[ol : ol+len2].  Native row-copy for
     the selected rows when available; numpy row gathers otherwise."""
@@ -460,10 +460,9 @@ class PairEndRunner:
             self.filter_result.add_correction(np.asarray(out["correction_matrix"]))
             c1 = np.asarray(out["corrected1"])[:n]
             c2 = np.asarray(out["corrected2"])[:n]
-            did = (c1 + c2) > 0
+            # one per side with >=1 corrected base (basecorrector.cpp:62-68)
             self.filter_result.inc_corrected_reads(
-                int(np.sum(did & (c1 > 0) & (c2 > 0)) * 2
-                    + np.sum(did & ~((c1 > 0) & (c2 > 0)))))
+                int(np.sum(c1 > 0) + np.sum(c2 > 0)))
 
         # polyG / polyX events ----------------------------------------
         for side in (1, 2):
@@ -495,8 +494,6 @@ class PairEndRunner:
             if k in out:
                 found = np.asarray(out[k])[:n] & kchunk
                 pos = np.asarray(out[f"adapter_pos{side}"])[:n]
-                before = (np.asarray(out["len1_before_ov_trim"])[:n] if
-                          f"len1_before_ov_trim" in out and side == 1 else None)
                 # length before by-sequence trim == length before overlap trim
                 # for non-ov-trimmed reads (the stage input length)
                 lb = np.asarray(out[f"len{side}_before_ov_trim"])[:n] \
@@ -539,7 +536,6 @@ class PairEndRunner:
             with stage("pe_fold_assemble"):
                 m_seq, m_qual = _assemble_merged(
                     mat1s, mat1q, mat2s, mat2q, front1, front2, rlen2,
-                    np.asarray(out["merged_offset"])[:n],
                     np.asarray(out["merged_ol"])[:n], m_len1, m_len2,
                     sel=m_need)
 
@@ -815,14 +811,6 @@ class PairEndRunner:
             [(mat1s, mat1q), (mat2s, mat2q)],
             plane_id, row_idx, starts, lens,
             tags=(_XTAG_BUF, tag_off, tag_len))
-
-    @staticmethod
-    def _orig_record(pack: ReadPack, i: int, start0: np.ndarray, tag: bytes) -> bytes:
-        s0 = int(start0[i])
-        n0 = int(pack.lens[i]) - s0
-        return format_record(pack.name(i), pack.seq[i, s0 : s0 + n0].tobytes(),
-                             pack.strand(i), pack.qual[i, s0 : s0 + n0].tobytes(),
-                             tag=tag)
 
     # ------------------------------------------------------------------
     def get_peak_insert_size(self) -> int:
