@@ -355,24 +355,66 @@ def _iter_records(path: str) -> Iterator[Tuple[bytes, bytes, bytes, bytes]]:
     else:
         fh = open(path, "rb")
     with fh:
-        it = iter(fh)
+        # reference getLine semantics (fqreader.cpp:90-150, mirrored by the
+        # native tokenizer): a line ends at the FIRST of \r or \n, and one
+        # following \n is swallowed (handles \r\n AND merges an empty next
+        # line into the break) unless it is the last byte of the stream
+        buf = b""
+        pos = 0
+        eof = False
+
+        def refill() -> None:
+            nonlocal buf, pos, eof
+            if pos:
+                buf = buf[pos:]
+                pos = 0
+            d = fh.read(1 << 20)
+            if not d:
+                eof = True
+            else:
+                buf += d
+
+        def get_line() -> Optional[bytes]:
+            nonlocal pos
+            while True:
+                i1 = buf.find(b"\n", pos)
+                i2 = buf.find(b"\r", pos)
+                end = i1 if i2 < 0 else (i2 if i1 < 0 else min(i1, i2))
+                if end < 0:
+                    if eof:
+                        if pos >= len(buf):
+                            return None
+                        line = buf[pos:]
+                        pos = len(buf)
+                        return line
+                    refill()
+                    continue
+                after = end + 1
+                if after >= len(buf) - 1 and not eof:
+                    refill()
+                    continue
+                line = buf[pos:end]
+                pos = after
+                if pos < len(buf) - 1 and buf[pos] == 0x0A:
+                    pos += 1
+                return line
+
         while True:
             name = None
-            for line in it:
-                line = line.rstrip(b"\r\n")
+            while True:
+                line = get_line()
+                if line is None:
+                    return
                 if line.startswith(b"@"):
                     name = line
                     break
-            if name is None:
-                return
-            seq = next(it, None)
+            seq = get_line()
             if seq is None:
                 return
-            strand = next(it, None)
-            qual = next(it, None)
-            seq = seq.rstrip(b"\r\n")
-            strand = b"" if strand is None else strand.rstrip(b"\r\n")
-            qual = b"" if qual is None else qual.rstrip(b"\r\n")
+            strand = get_line()
+            qual = get_line()
+            strand = b"" if strand is None else strand
+            qual = b"" if qual is None else qual
             if len(qual) != len(seq):
                 sys.stderr.write(
                     "Error: base sequnce and quality sequence have different length: \n"

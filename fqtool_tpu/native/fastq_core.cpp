@@ -155,22 +155,28 @@ int64_t fq_parse(const char* buf, int64_t len, int64_t max_records,
     *error = 0;
     *consumed = 0;
 
+    // Reference getLine semantics (fqreader.cpp:90-150): a line ends at the
+    // FIRST of '\r' or '\n'; after consuming the terminator, one following
+    // '\n' is swallowed -- which handles \r\n pairs AND merges an empty next
+    // line into the break -- unless that '\n' is the buffer's last byte
+    // (the reference's end < mBufDataLen-1 guard).  For non-final buffers we
+    // wait for more bytes when the swallow decision would touch the last
+    // byte, so the outcome never depends on our chunking.
     auto next_line = [&](int64_t& off, int64_t& llen) -> bool {
         if (pos >= len) return false;
         off = pos;
-        const char* nl = (const char*)memchr(buf + pos, '\n', (size_t)(len - pos));
-        int64_t end;
-        if (nl == nullptr) {
+        int64_t end = pos;
+        while (end < len && buf[end] != '\n' && buf[end] != '\r') ++end;
+        if (end == len) {
             if (!final_buffer) return false;  // incomplete line, wait for more
-            end = len;
             pos = len;
-        } else {
-            end = nl - buf;
-            pos = end + 1;
+            llen = end - off;
+            return true;
         }
-        // strip trailing \r (and a stray pre-\r like the reference's
-        // clearLineBreaks, fqreader.cpp:77-88)
-        while (end > off && buf[end - 1] == '\r') --end;
+        int64_t after = end + 1;
+        if (after >= len - 1 && !final_buffer) return false;  // swallow undecided
+        pos = after;
+        if (pos < len - 1 && buf[pos] == '\n') ++pos;
         llen = end - off;
         return true;
     };

@@ -103,3 +103,52 @@ def test_pe_long_reads(oracle, tmp_path):
           ["-i", str(fq1), "-I", str(fq2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
            "-q", "-c", "-a"],
           ["o1.fq.gz", "o2.fq.gz"])
+
+
+def test_ora_empty_sequences(oracle, tmp_path):
+    """All-empty sequence lines with ORA enabled: the window-hash context
+    must handle a zero-length corpus (no over-represented seqs) on both
+    codec paths."""
+    import os
+    fq = tmp_path / "empty_seqs.fq"
+    fq.write_bytes(b"".join(b"@r%d\n\n+\n\n" % i for i in range(50)))
+    check(oracle, tmp_path,
+          ["-i", str(fq), "-o", "out.fq.gz", "--ora"], ["out.fq.gz"])
+    os.environ["FQTOOL_TPU_NO_NATIVE"] = "1"
+    try:
+        d2 = tmp_path / "nonative"
+        d2.mkdir()
+        check(oracle, d2, ["-i", str(fq), "-o", "out.fq.gz", "--ora"],
+              ["out.fq.gz"])
+    finally:
+        os.environ.pop("FQTOOL_TPU_NO_NATIVE", None)
+
+
+def test_cr_only_line_endings(oracle, tmp_path):
+    """Classic-Mac \r-only line breaks: the reference's getLine terminates at
+    the FIRST of \r or \n (fqreader.cpp:95-101), so \r-separated records
+    parse; our tokenizers mirror it exactly."""
+    fq = tmp_path / "cr.fq"
+    recs = []
+    for i in range(40):
+        seq = "ACGTACGTACGTACGT"[: 8 + (i % 8)]
+        recs.append(f"@c{i} x\r{seq}\r+\r{'I' * len(seq)}\r")
+    fq.write_bytes("".join(recs).encode())
+    check(oracle, tmp_path, ["-i", str(fq), "-o", "out.fq.gz", "-q"],
+          ["out.fq.gz"])
+
+
+def test_blank_lines_between_records(oracle, tmp_path):
+    """Empty lines inside the stream exercise the getLine newline-swallow
+    quirk (one following \n is consumed with each terminator,
+    fqreader.cpp:108-110) -- both sides must mis-parse identically."""
+    fq = tmp_path / "blank.fq"
+    parts = []
+    for i in range(30):
+        seq = "ACGTACGT"
+        parts.append(f"@b{i}\n{seq}\n+\n{'F' * len(seq)}\n")
+        if i % 3 == 0:
+            parts.append("\n")  # stray blank line between records
+    fq.write_bytes("".join(parts).encode())
+    check(oracle, tmp_path, ["-i", str(fq), "-o", "out.fq.gz"],
+          ["out.fq.gz"])
