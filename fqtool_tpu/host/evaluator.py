@@ -20,7 +20,7 @@ import numpy as np
 from ..config.options import Options
 from ..io.fastq import iter_records
 from .known_adapters import KNOWN_ADAPTERS
-from .nucleotidetree import NucleotideTree
+from .nucleotidetree import dominant_path
 
 _BASE_VAL = {65: 0, 84: 1, 67: 2, 71: 3}  # A T C G
 
@@ -504,10 +504,16 @@ def _count_seed_kmers(records: List[str], keylen: int, shift_tail: int) -> np.nd
     return counts
 
 
-def _top_keys(counts: np.ndarray, keylen: int) -> Tuple[List[int], int]:
-    """Top-10 seed selection with the reference's complexity/GC/GGGG-prefix
-    exclusions and its quirky insertion order (evaluator.cpp:287-337)."""
-    size = counts.shape[0]
+_eligible_cache: Dict[int, np.ndarray] = {}
+
+
+def _eligible_keys(keylen: int) -> np.ndarray:
+    """Seed eligibility (evaluator.cpp:287-337 exclusions: low-complexity,
+    high-GC, GGGG prefix); pure function of keylen, cached (4^10 bools)."""
+    cached = _eligible_cache.get(keylen)
+    if cached is not None:
+        return cached
+    size = 1 << (keylen * 2)
     ks = np.arange(size, dtype=np.int64)
     atcg = np.zeros((4, size), np.int16)
     for i in range(keylen):
@@ -518,17 +524,30 @@ def _top_keys(counts: np.ndarray, keylen: int) -> Tuple[List[int], int]:
     high_gc = (atcg[2] + atcg[3]) >= keylen - 2
     gggg_prefix = (ks >> 12) == 0xFF
     eligible = ~(low_complexity | high_gc | gggg_prefix)
+    _eligible_cache[keylen] = eligible
+    return eligible
 
+
+def _top_keys(counts: np.ndarray, keylen: int) -> Tuple[List[int], int]:
+    """Top-10 seed selection with the reference's complexity/GC/GGGG-prefix
+    exclusions and its quirky insertion order (evaluator.cpp:287-337)."""
+    from ..io import native
+
+    eligible = _eligible_keys(keylen)
     total = int(counts[eligible].sum())
 
     # Reproduce the reference's exact insertion loop over ascending k.  It has
     # a quirk: a value that beats the current top (t == 0 branch) shifts and
     # inserts at 0, but a value beating position t>0 inserts at t+1.
     topnum = 10
-    topkeys = [0] * topnum
 
     # only keys with nonzero count (plus the implicit zeros) can matter
-    candidates = ks[eligible & (counts > 0)]
+    candidates = np.nonzero(eligible & (counts > 0))[0].astype(np.int64)
+    nat = native.top_keys(counts, candidates, topnum)
+    if nat is not None:
+        return nat.tolist(), total
+
+    topkeys = [0] * topnum
     for k in candidates.tolist():
         val = counts[k]
         for t in range(topnum - 1, -1, -1):
@@ -549,21 +568,19 @@ def _get_adapter_with_seed(seed: int, records: List[str], keylen: int,
                            trim: int) -> str:
     """reference: src/evaluator.cpp:392-426"""
     shift_tail = max(1, trim)
-    forward = NucleotideTree()
-    backward = NucleotideTree()
+    fwd_seqs: List[str] = []
+    bwd_seqs: List[str] = []
     seed_seq = int2seq(seed, keylen)
     for r in records:
         last = len(r) - keylen - shift_tail
         pos = r.find(seed_seq, 20)
         while 0 <= pos <= last:
-            forward.add_seq(r[pos + keylen : len(r) - shift_tail])
-            backward.add_seq(r[:pos][::-1])
+            fwd_seqs.append(r[pos + keylen : len(r) - shift_tail])
+            bwd_seqs.append(r[:pos][::-1])
             pos = r.find(seed_seq, pos + 1)
 
-    reached1 = forward.get_dominant_path()
-    reached2 = backward.get_dominant_path()
-    forward_path, f_leaf = reached1
-    backward_path, b_leaf = reached2
+    forward_path, f_leaf = dominant_path(fwd_seqs)
+    backward_path, b_leaf = dominant_path(bwd_seqs)
     reached_leaf = f_leaf and b_leaf
     adapter = backward_path[::-1] + seed_seq + forward_path
     if len(adapter) > 60:

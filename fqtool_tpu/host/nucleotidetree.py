@@ -1,13 +1,23 @@
 """Nucleotide trie for adapter-sequence extension.
 
-Port of ``NucleotideTree`` (reference: src/nucleotidetree.cpp): an 8-ary trie
-keyed by ``base & 0x07`` whose dominant path (>= 95% of >= 50 counts per
-level) extends a detected adapter seed.
+Behavioral spec from ``NucleotideTree`` (reference: src/nucleotidetree.cpp):
+an 8-ary trie keyed by ``base & 0x07`` whose dominant path (>= 95% of >= 50
+counts per level) extends a detected adapter seed.
+
+The production path is :func:`dominant_path`, a vectorized equivalent: the
+trie is only ever walked along its single dominant branch, so per-level child
+counts can be computed as masked column counts over a byte matrix of the
+inserted sequences -- O(depth) numpy passes instead of per-character Python
+trie insertion (the insertion loop dominated adapter-detection startup).
+The :class:`NucleotideTree` trie is kept as the executable spec; the two are
+cross-checked in tests/test_names_vectorized.py.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, List, Tuple
+
+import numpy as np
 
 RATIO_THRESHOLD = 0.95  # nucleotidetree.cpp:59
 NUM_THRESHOLD = 50      # nucleotidetree.cpp:60
@@ -64,3 +74,52 @@ class NucleotideTree:
             out.append(dominant.base)
             cur = dominant
         return "".join(out), reached_leaf
+
+
+# child-index order of the reference's 0..7 array scan: A&7=1, C&7=3, T&7=4,
+# G&7=7 (only ACGT occur; N stops insertion).  At most one child can hold
+# >= 95% of the total, so the scan order cannot change the outcome -- kept
+# for exactness.
+_BASE_ORDER = np.frombuffer(b"ACTG", np.uint8)
+
+
+def dominant_path(seqs: List[str]) -> Tuple[str, bool]:
+    """Vectorized ``add_seq``-all + ``get_dominant_path``.
+
+    Equivalent to inserting every sequence into a fresh trie and walking the
+    dominant branch: a sequence contributes a child at depth d iff its first
+    'N' (insertion stop, nucleotidetree.cpp:45-46) and its length both lie
+    beyond d and its prefix matches the path chosen so far.
+    """
+    n = len(seqs)
+    if n == 0:
+        return "", True
+    width = max(len(s) for s in seqs)
+    if width == 0:
+        return "", True
+    mat = np.zeros((n, width), np.uint8)
+    for i, s in enumerate(seqs):
+        if s:
+            mat[i, : len(s)] = np.frombuffer(s.encode("latin-1"), np.uint8)
+    # effective insertion depth: first 'N' or end of string (0 padding)
+    stop = (mat == ord("N")) | (mat == 0)
+    eff = np.where(stop.any(axis=1), stop.argmax(axis=1), width)
+
+    active = np.ones(n, bool)
+    out: List[str] = []
+    for d in range(width):
+        contrib = active & (eff > d)
+        total = int(contrib.sum())
+        if total < NUM_THRESHOLD:
+            return "".join(out), True
+        col = mat[:, d]
+        for b in _BASE_ORDER:
+            cnt = int(((col == b) & contrib).sum())
+            if cnt / total >= RATIO_THRESHOLD:
+                out.append(chr(b))
+                active = contrib & (col == b)
+                break
+        else:
+            return "".join(out), False
+    # depth exhausted: every child level beyond here is empty (total 0 < 50)
+    return "".join(out), True

@@ -12,6 +12,7 @@ from __future__ import annotations
 import atexit
 import os
 import sys
+import threading
 import time
 from collections import defaultdict
 from contextlib import contextmanager
@@ -22,6 +23,9 @@ _PROFILE_DIR = os.environ.get("FQTOOL_TPU_PROFILE_DIR", "")
 
 _totals: Dict[str, float] = defaultdict(float)
 _counts: Dict[str, int] = defaultdict(int)
+# stages are also recorded from the prefetch/writer threads (tokenize,
+# pack_encode, gzip_out): those names sum THREAD time, not main-loop wall
+_lock = threading.Lock()
 
 
 @contextmanager
@@ -34,8 +38,10 @@ def stage(name: str):
     try:
         yield
     finally:
-        _totals[name] += time.perf_counter() - t0
-        _counts[name] += 1
+        dt = time.perf_counter() - t0
+        with _lock:
+            _totals[name] += dt
+            _counts[name] += 1
 
 
 def dump() -> None:

@@ -20,8 +20,11 @@ from __future__ import annotations
 
 import gzip
 import os
+import struct
 import sys
+import threading
 import zlib
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Iterator, List, Optional, Tuple
 
@@ -515,11 +518,46 @@ def _truncate_pack(p: ReadPack, n: int) -> ReadPack:
                     p.seq[:n], p.qual[:n], p.lens[:n])
 
 
+# Shared deflate pool for every gzip OutputWriter in the process: output
+# compression was the dominant steady-state cost of the SE pipelines (the
+# single writer thread deflated ~100 MB/run while three cores idled).
+# Blocks compress concurrently pigz-style and are stitched, in order, into
+# ONE valid gzip member: each block is an independent raw-deflate stream
+# ended with Z_FULL_FLUSH (byte-aligned, empty-stored-block marker), and
+# close() appends a final empty Z_FINISH block plus the crc32/isize trailer.
+# Same input bytes => same block boundaries => deterministic output.
+_DEFLATE_BLOCK = 1 << 20
+_deflate_pool = None
+_deflate_pool_lock = threading.Lock()
+
+
+def _get_deflate_pool():
+    global _deflate_pool
+    if _deflate_pool is None:
+        with _deflate_pool_lock:
+            if _deflate_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                n = max(2, min(6, os.cpu_count() or 1))
+                _deflate_pool = ThreadPoolExecutor(
+                    max_workers=n, thread_name_prefix="fq_deflate")
+    return _deflate_pool
+
+
+def _deflate_block(block: bytes, level: int) -> bytes:
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    return co.compress(block) + co.flush(zlib.Z_FULL_FLUSH)
+
+
+_GZIP_HEADER = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03"  # mtime 0, OS unix
+
+
 class OutputWriter:
     """Streaming FASTQ output, gzip when the filename ends with .gz.
 
     Mirrors the reference Writer (src/writer.cpp:30-60): compression level
-    from options, 1 MiB buffering.
+    from options, 1 MiB buffering.  The gzip stream is produced by the
+    shared parallel deflate pool above; the reference serializes deflate on
+    each WriterThread (src/writerthread.cpp) which left it output-bound.
     """
 
     def __init__(self, path: str, compression: int = 3):
@@ -529,29 +567,60 @@ class OutputWriter:
         os.makedirs(d, exist_ok=True)
         self._fh = open(path, "wb", buffering=1 << 20)
         if self._gz:
-            # native zlib codec (byte-identical stream), Python zlib fallback;
-            # wbits=31 => gzip container, streamed
-            self._comp = (native.make_deflater(compression)
-                          or zlib.compressobj(compression, zlib.DEFLATED, 31))
-        else:
-            self._comp = None
+            self._level = compression
+            self._crc = 0
+            self._size = 0
+            self._buf: List[bytes] = []   # staged input, < _DEFLATE_BLOCK
+            self._buf_len = 0
+            self._pending = deque()       # ordered block futures
+            self._fh.write(_GZIP_HEADER)
+
+    def _submit(self, block: bytes) -> None:
+        self._crc = zlib.crc32(block, self._crc)
+        self._size += len(block)
+        self._pending.append(
+            _get_deflate_pool().submit(_deflate_block, block, self._level))
+        # opportunistic in-order drain; hard-bound the in-flight window
+        while self._pending and self._pending[0].done():
+            self._fh.write(self._pending.popleft().result())
+        while len(self._pending) > 32:
+            self._fh.write(self._pending.popleft().result())
 
     def write(self, data: bytes) -> None:
         if not data:
             return
-        if self._comp is not None:
-            out = self._comp.compress(data)
-            if out:
-                self._fh.write(out)
-        else:
+        if not self._gz:
             self._fh.write(data)
+            return
+        if self._buf_len + len(data) < _DEFLATE_BLOCK:
+            self._buf.append(data)
+            self._buf_len += len(data)
+            return
+        staged = b"".join(self._buf) + data if self._buf else data
+        self._buf, self._buf_len = [], 0
+        view = memoryview(staged)
+        lo = 0
+        while len(staged) - lo >= _DEFLATE_BLOCK:
+            self._submit(bytes(view[lo:lo + _DEFLATE_BLOCK]))
+            lo += _DEFLATE_BLOCK
+        if lo < len(staged):
+            tail = bytes(view[lo:])
+            self._buf, self._buf_len = [tail], len(tail)
 
     def close(self) -> None:
         if self._fh is None:
             return
-        if self._comp is not None:
-            self._fh.write(self._comp.flush(zlib.Z_FINISH))
-            self._comp = None
+        if self._gz:
+            if self._buf:
+                self._submit(b"".join(self._buf))
+                self._buf, self._buf_len = [], 0
+            while self._pending:
+                self._fh.write(self._pending.popleft().result())
+            # final empty Z_FINISH block terminates the member
+            self._fh.write(zlib.compressobj(
+                self._level, zlib.DEFLATED, -15).flush(zlib.Z_FINISH))
+            self._fh.write(struct.pack("<II", self._crc & 0xFFFFFFFF,
+                                       self._size & 0xFFFFFFFF))
         self._fh.close()
         self._fh = None
 
@@ -584,12 +653,15 @@ class AsyncWriter:
         return self._inner.path
 
     def _loop(self) -> None:
+        from ..host.tracing import stage
         while True:
             item = self._q.get()
             if item is self._SENTINEL:
                 return
             try:
-                self._inner.write(item)
+                # thread-side total: deflate + file write across all writers
+                with stage("gzip_out"):
+                    self._inner.write(item)
             except BaseException as e:  # surfaced on next write/close
                 self._exc = e
                 return

@@ -100,16 +100,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                    _i64p, _i32p]
         lib.gz_inflate_free.restype = None
         lib.gz_inflate_free.argtypes = [ctypes.c_void_p]
-        lib.gz_deflate_new.restype = ctypes.c_void_p
-        lib.gz_deflate_new.argtypes = [ctypes.c_int32]
-        lib.gz_deflate_bound.restype = ctypes.c_int64
-        lib.gz_deflate_bound.argtypes = [ctypes.c_void_p, ctypes.c_int64]
-        lib.gz_deflate.restype = ctypes.c_int64
-        lib.gz_deflate.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
-                                   ctypes.c_int64, _u8p, ctypes.c_int64,
-                                   ctypes.c_int32, _i64p, _i32p]
-        lib.gz_deflate_free.restype = None
-        lib.gz_deflate_free.argtypes = [ctypes.c_void_p]
         lib.fq_seed_hist.restype = None
         lib.fq_seed_hist.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int64,
                                      ctypes.c_int32, ctypes.c_int32, _i64p]
@@ -117,6 +107,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.fq_ors_scan.argtypes = [_u8p, _i64p, _i64p, ctypes.c_int64,
                                     ctypes.c_int32, ctypes.c_int64,
                                     _i64p, _i64p, ctypes.c_int64]
+        lib.fq_top_keys.restype = None
+        lib.fq_top_keys.argtypes = [_i64p, _i64p, ctypes.c_int64,
+                                    ctypes.c_int32, _i64p]
         _u64p = ctypes.POINTER(ctypes.c_uint64)
         lib.fq_contain_pairs.restype = ctypes.c_int64
         lib.fq_contain_pairs.argtypes = [_u8p, _i64p, _i64p,
@@ -221,6 +214,21 @@ def seed_hist(block: np.ndarray, keylen: int, shift_tail: int,
     return True
 
 
+def top_keys(counts: np.ndarray, candidates: np.ndarray,
+             topnum: int) -> Optional[np.ndarray]:
+    """The reference's sequential top-N seed insertion (evaluator.cpp:287-337)
+    over ascending candidate keys.  None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts, np.int64)
+    candidates = np.ascontiguousarray(candidates, np.int64)
+    out = np.zeros(topnum, np.int64)
+    lib.fq_top_keys(_ptr(counts, _i64p), _ptr(candidates, _i64p),
+                    len(candidates), topnum, _ptr(out, _i64p))
+    return out
+
+
 class Inflater:
     """Streaming multi-member gzip inflater over the native codec; mirrors
     the zlib.decompressobj(wbits=47) + reset-on-member-end fallback."""
@@ -263,58 +271,9 @@ class Inflater:
         self.close()
 
 
-class Deflater:
-    """Streaming gzip compressor over the native codec; byte-identical
-    output to zlib.compressobj(level, DEFLATED, 31)."""
-
-    def __init__(self, lib, level: int):
-        self._lib = lib
-        self._ctx = lib.gz_deflate_new(level)
-        if not self._ctx:
-            raise MemoryError("gz_deflate_new failed")
-
-    def _run(self, data: bytes, flush: int) -> bytes:
-        cap = max(int(self._lib.gz_deflate_bound(self._ctx, len(data))), 1 << 16)
-        parts = []
-        done = np.zeros(1, np.int32)
-        used = np.zeros(1, np.int64)
-        while True:
-            out = np.empty(cap, np.uint8)
-            n = self._lib.gz_deflate(self._ctx, data, len(data),
-                                     _ptr(out, _u8p), cap, flush,
-                                     _ptr(used, _i64p), _ptr(done, _i32p))
-            if n < 0:
-                raise RuntimeError("deflate failed")
-            parts.append(out[:n].tobytes())
-            if done[0]:
-                return b"".join(parts)
-            data = data[int(used[0]):]  # resume with the unconsumed tail
-
-    def compress(self, data: bytes) -> bytes:
-        return self._run(data, 0)
-
-    def flush(self, _mode=None) -> bytes:
-        """Finish the stream (argument accepted for zlib.compressobj
-        signature compatibility; always Z_FINISH)."""
-        out = self._run(b"", 4)
-        self._lib.gz_deflate_free(self._ctx)
-        self._ctx = None
-        return out
-
-    def __del__(self):  # pragma: no cover
-        if getattr(self, "_ctx", None):
-            self._lib.gz_deflate_free(self._ctx)
-            self._ctx = None
-
-
 def make_inflater() -> Optional[Inflater]:
     lib = get_lib()
     return Inflater(lib) if lib is not None else None
-
-
-def make_deflater(level: int) -> Optional[Deflater]:
-    lib = get_lib()
-    return Deflater(lib, level) if lib is not None else None
 
 
 def _ptr(a: np.ndarray, ctype):

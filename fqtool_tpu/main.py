@@ -42,16 +42,18 @@ def run(opt: Options) -> None:
     # evaluation pre-passes (main.cpp:128-143).  The read-number estimate
     # scans up to 512Ki records but is consumed only by -s split sizing
     # (main.cpp:132-135), so it runs only when needed.
-    evaluator.evaluate_read_len(opt)
-    if opt.split.by_file_number:
-        evaluator.evaluate_read_num(opt)
-        opt.split.size = max(opt.est.reads_num // max(opt.split.number, 1), 1)
-        loginfo(f"total reds: {opt.est.reads_num} split size: {opt.split.size}")
-    if opt.over_rep.enabled:
-        evaluator.evaluate_over_rep_seqs(opt)
-    if opt.adapter.enable_detect_for_pe:
-        evaluator.evaluate_adapter_seq(opt, False)
-        evaluator.evaluate_adapter_seq(opt, True)
+    from .host.tracing import stage
+    with stage("prepass"):
+        evaluator.evaluate_read_len(opt)
+        if opt.split.by_file_number:
+            evaluator.evaluate_read_num(opt)
+            opt.split.size = max(opt.est.reads_num // max(opt.split.number, 1), 1)
+            loginfo(f"total reds: {opt.est.reads_num} split size: {opt.split.size}")
+        if opt.over_rep.enabled:
+            evaluator.evaluate_over_rep_seqs(opt)
+        if opt.adapter.enable_detect_for_pe:
+            evaluator.evaluate_adapter_seq(opt, False)
+            evaluator.evaluate_adapter_seq(opt, True)
 
     # SE/PE dispatch (processor.cpp:10-19)
     if opt.is_paired():

@@ -82,53 +82,6 @@ void gz_inflate_free(void* ctx) {
     free(zs);
 }
 
-// Streaming gzip deflater (wbits 31 = gzip container, default header:
-// mtime 0 -- byte-identical to Python's zlib.compressobj(level, ..., 31)).
-void* gz_deflate_new(int32_t level) {
-    z_stream* zs = (z_stream*)calloc(1, sizeof(z_stream));
-    if (deflateInit2(zs, level, Z_DEFLATED, 31, 8, Z_DEFAULT_STRATEGY) != Z_OK) {
-        free(zs);
-        return nullptr;
-    }
-    return zs;
-}
-
-int64_t gz_deflate_bound(void* ctx, int64_t in_len) {
-    return (int64_t)deflateBound((z_stream*)ctx, (uLong)in_len) + 64;
-}
-
-// flush: 0 = Z_NO_FLUSH, 4 = Z_FINISH.  Returns bytes written; *done = 1
-// when this step is complete (input fully consumed, and for Z_FINISH the
-// trailer emitted).  On *done = 0 the caller must call again with empty
-// input and a fresh buffer (the stream keeps its position -- resumable).
-// Returns -1 only on a hard zlib error.
-int64_t gz_deflate(void* ctx, const uint8_t* in, int64_t in_len,
-                   uint8_t* out, int64_t out_cap, int32_t flush,
-                   int64_t* in_used, int32_t* done) {
-    z_stream* zs = (z_stream*)ctx;
-    zs->next_in = (Bytef*)in;
-    zs->avail_in = (uInt)in_len;
-    zs->next_out = out;
-    zs->avail_out = (uInt)out_cap;
-    *done = 0;
-    for (;;) {
-        int rc = deflate(zs, flush == 4 ? Z_FINISH : Z_NO_FLUSH);
-        if (rc == Z_STREAM_END) { *done = 1; break; }
-        if (rc != Z_OK && rc != Z_BUF_ERROR) { *in_used = in_len - (int64_t)zs->avail_in; return -1; }
-        if (zs->avail_out == 0) break;  // resumable: caller provides more room
-        if (zs->avail_in == 0 && flush != 4) { *done = 1; break; }
-        if (rc == Z_BUF_ERROR) { *done = 1; break; }  // no progress possible
-    }
-    *in_used = in_len - (int64_t)zs->avail_in;
-    return out_cap - (int64_t)zs->avail_out;
-}
-
-void gz_deflate_free(void* ctx) {
-    z_stream* zs = (z_stream*)ctx;
-    deflateEnd(zs);
-    free(zs);
-}
-
 // Tokenize a FASTQ text buffer into up to max_records records.
 //
 // Semantics follow the reference reader (fqreader.cpp:160-195): blank lines
@@ -522,6 +475,34 @@ uint64_t fq_hash64(const uint8_t* s, int64_t n) {
     uint64_t h = 0;
     for (int64_t i = 0; i < n; ++i) h = h * P + s[i];
     return h;
+}
+
+// The reference's quirky top-10 seed insertion loop, replicated exactly
+// (evaluator.cpp:287-337): iterate candidate keys ascending; a value beating
+// position t>0 inserts at t+1, while one beating position 0 shifts and
+// inserts at 0.  Inherently sequential (the break threshold counts[top[9]]
+// evolves per insertion), so it lives here: ~1 ms over ~100k candidates vs
+// ~0.2 s for the same loop in Python.  topkeys must arrive zero-initialized.
+void fq_top_keys(const int64_t* counts, const int64_t* cand, int64_t n,
+                 int32_t topnum, int64_t* topkeys) {
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t k = cand[i];
+        int64_t v = counts[k];
+        for (int32_t t = topnum - 1; t >= 0; --t) {
+            if (v < counts[topkeys[t]]) {
+                if (t < topnum - 1) {
+                    for (int32_t m = topnum - 1; m > t + 1; --m)
+                        topkeys[m] = topkeys[m - 1];
+                    topkeys[t + 1] = k;
+                }
+                break;
+            } else if (t == 0) {
+                for (int32_t m = topnum - 1; m > 0; --m)
+                    topkeys[m] = topkeys[m - 1];
+                topkeys[t] = k;
+            }
+        }
+    }
 }
 
 }  // extern "C"

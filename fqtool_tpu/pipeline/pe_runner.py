@@ -197,9 +197,15 @@ class PairEndRunner:
         # some remote attachments deadlock with two program batches in flight)
         overlap = os.environ.get("FQTOOL_TPU_PACK_OVERLAP", "0") == "1"
         in_flight = None
-        for pack1, pack2 in prefetch_iter(encode_packs(iter_packs_paired(
-                opt.in1, opt.in2, opt.interleaved_input,
-                pack_reads, opt.phred64))):
+        it = prefetch_iter(encode_packs(iter_packs_paired(
+            opt.in1, opt.in2, opt.interleaved_input,
+            pack_reads, opt.phred64)))
+        while True:
+            with stage("input_wait"):
+                item = next(it, None)
+            if item is None:
+                break
+            pack1, pack2 = item
             submitted = self.submit_pack(pack1, pack2)
             if not overlap:
                 emit(submitted)
@@ -211,9 +217,11 @@ class PairEndRunner:
             emit(in_flight)
         loginfo(f"processed {total} read pairs")
 
-        for w in (split, w_out1, w_out2, w_unpaired1, w_unpaired2, w_merged, w_failed):
-            if w is not None:
-                w.close()
+        with stage("writer_close"):
+            for w in (split, w_out1, w_out2, w_unpaired1, w_unpaired2,
+                      w_merged, w_failed):
+                if w is not None:
+                    w.close()
         self.write_reports()
 
     def _run_mh(self, mh) -> None:

@@ -53,12 +53,20 @@ def encode_packs(it):
     from ..io.fastq import ReadPack
     from ..ops.packed import encode_host
 
-    for item in it:
+    it = iter(it)
+    while True:
+        # thread-side stage totals: tokenize = gunzip+parse+pack build,
+        # pack_encode = packed-transport LUT pass (both overlap the main loop)
+        with stage("tokenize"):
+            item = next(it, None)
+        if item is None:
+            return
         if use_packed():
             packs = (item,) if isinstance(item, ReadPack) else item
-            for p in packs:
-                if isinstance(p, ReadPack):
-                    p.enc = encode_host(p.seq, p.qual)
+            with stage("pack_encode"):
+                for p in packs:
+                    if isinstance(p, ReadPack):
+                        p.enc = encode_host(p.seq, p.qual)
         yield item
 
 
@@ -336,12 +344,13 @@ class SingleEndRunner:
         with device_profile():
             self._run_loop(opt, split, out_writer, failed_writer, emit, pack_reads)
 
-        if split is not None:
-            split.close()
-        if out_writer is not None:
-            out_writer.close()
-        if failed_writer is not None:
-            failed_writer.close()
+        with stage("writer_close"):
+            if split is not None:
+                split.close()
+            if out_writer is not None:
+                out_writer.close()
+            if failed_writer is not None:
+                failed_writer.close()
         with stage("reports"):
             self.write_reports()
 
@@ -403,8 +412,13 @@ class SingleEndRunner:
         # host.  Intra-pack chunk dispatch is still asynchronous either way.
         overlap = os.environ.get("FQTOOL_TPU_PACK_OVERLAP", "0") == "1"
         in_flight = None
-        for pack in prefetch_iter(encode_packs(
-                iter_packs(opt.in1, pack_reads, opt.phred64))):
+        it = prefetch_iter(encode_packs(
+            iter_packs(opt.in1, pack_reads, opt.phred64)))
+        while True:
+            with stage("input_wait"):
+                pack = next(it, None)
+            if pack is None:
+                break
             if not overlap:
                 emit(self.submit_pack(pack))
                 continue

@@ -133,3 +133,66 @@ def test_ors_filter_matches_bruteforce():
                 hot[b[i : i + 10]] = int(rng.integers(3, 400))
                 hot[b[j : j + 20]] = int(rng.integers(3, 400))
         assert _filter_substrings(dict(hot)) == brute(dict(hot)), trial
+
+
+def test_dominant_path_matches_trie():
+    """The vectorized dominant_path must agree with the executable-spec trie
+    (reference: src/nucleotidetree.cpp:41-90) on random sequence sets."""
+    import random
+
+    from fqtool_tpu.host.nucleotidetree import NucleotideTree, dominant_path
+
+    rng = random.Random(7)
+    for case in range(40):
+        n = rng.choice([0, 1, 30, 49, 50, 51, 200, 800])
+        base = "".join(rng.choice("ACGT") for _ in range(rng.randint(5, 40)))
+        seqs = []
+        for _ in range(n):
+            s = list(base)
+            # random mutations, truncations and N injections so levels
+            # hover around the 95%/50 thresholds
+            for _ in range(rng.randint(0, 3)):
+                i = rng.randrange(len(s))
+                s[i] = rng.choice("ACGTN")
+            s = "".join(s[: rng.randint(0, len(s))])
+            seqs.append(s)
+        tree = NucleotideTree()
+        for s in seqs:
+            tree.add_seq(s)
+        assert dominant_path(seqs) == tree.get_dominant_path(), \
+            f"case {case} diverged"
+
+
+def test_native_top_keys_matches_python_loop():
+    """fq_top_keys must replicate the reference's quirky insertion loop
+    (evaluator.cpp:287-337) exactly -- verified against the Python spec."""
+    import numpy as np
+
+    from fqtool_tpu.io import native
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        size = 1 << 16
+        counts = np.zeros(size, np.int64)
+        nz = rng.choice(np.arange(1, size), 2000, replace=False)
+        counts[nz] = rng.integers(1, 30, 2000)
+        cand = np.nonzero(counts > 0)[0].astype(np.int64)
+        nat = native.top_keys(counts, cand, 10).tolist()
+        topkeys = [0] * 10
+        for k in cand.tolist():
+            val = counts[k]
+            for t in range(9, -1, -1):
+                if val < counts[topkeys[t]]:
+                    if t < 9:
+                        for m in range(9, t + 1, -1):
+                            topkeys[m] = topkeys[m - 1]
+                        topkeys[t + 1] = k
+                    break
+                elif t == 0:
+                    for m in range(9, 0, -1):
+                        topkeys[m] = topkeys[m - 1]
+                    topkeys[t] = k
+        assert nat == topkeys
