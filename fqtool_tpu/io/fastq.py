@@ -255,6 +255,12 @@ class PackReader:
         self._use_native = native.get_lib() is not None
         if self._use_native:
             self._stream = _RawStream(path)
+            # gz inputs: inflate in its own thread so decompression overlaps
+            # tokenize + pack build (both native, GIL-released) -- the input
+            # chain otherwise serializes inflate->parse->pack in one thread
+            self._chunks = (prefetch_iter(iter(self._stream.read_chunk, b""),
+                                          depth=3)
+                            if path.endswith(".gz") else None)
             self._pending = bytearray()
             self._eof = False
             self._err = False
@@ -274,15 +280,21 @@ class PackReader:
         if pack is None or pack.count == 0:
             self._done = True
             if self._use_native:
-                self._stream.close()
+                self._close_native()
             return None
         return pack
 
     def close(self) -> None:
         if self._use_native:
-            self._stream.close()
+            self._close_native()
         else:
             self._py_iter.close()
+
+    def _close_native(self) -> None:
+        if self._chunks is not None:
+            self._chunks.close()  # unwind the inflate thread
+            self._chunks = None
+        self._stream.close()
 
     # ------------------------------------------------------------------
     def _next_native(self, skip: bool = False):
@@ -291,7 +303,8 @@ class PackReader:
         want = int(self.pack_reads * self._bytes_per_rec * 1.1) + (1 << 16)
         while True:
             while not self._eof and len(self._pending) < want:
-                chunk = self._stream.read_chunk()
+                chunk = (next(self._chunks, b"") if self._chunks is not None
+                         else self._stream.read_chunk())
                 if not chunk:
                     self._eof = True
                     break

@@ -14,7 +14,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .common import complement, positions
+from .common import complement, positions, take_dyn
 
 GOOD_QUAL = 30 + 33  # util::num2qual(30), basecorrector.cpp:27
 BAD_QUAL = 14 + 33   # util::num2qual(14), basecorrector.cpp:28
@@ -79,8 +79,7 @@ def correct_by_overlap(seq1, qual1, rlen1, seq2, qual2, rlen2, ov,
     q1pos = positions(L1)
     in_ov1 = (q1pos >= start1[:, None]) & (q1pos < (start1 + ov.overlap_len)[:, None])
     mate_idx1 = jnp.clip(k[:, None] - q1pos, 0, L2 - 1)
-    mate_seq = jnp.take_along_axis(seq2, mate_idx1, axis=1)
-    mate_qual = jnp.take_along_axis(qual2, mate_idx1, axis=1)
+    mate_seq, mate_qual = take_dyn((seq2, qual2), mate_idx1)
     mism1 = seq1 != complement(mate_seq)
     fix1 = (active[:, None] & in_ov1 & mism1
             & (mate_qual >= GOOD_QUAL) & (qual1 <= BAD_QUAL))
@@ -91,8 +90,7 @@ def correct_by_overlap(seq1, qual1, rlen1, seq2, qual2, rlen2, ov,
     q2pos = positions(L2)
     in_ov2 = (q2pos <= start2[:, None]) & (q2pos > (start2 - ov.overlap_len)[:, None])
     mate_idx2 = jnp.clip(k[:, None] - q2pos, 0, L1 - 1)
-    mate_seq2 = jnp.take_along_axis(seq1, mate_idx2, axis=1)
-    mate_qual2 = jnp.take_along_axis(qual1, mate_idx2, axis=1)
+    mate_seq2, mate_qual2 = take_dyn((seq1, qual1), mate_idx2)
     mism2 = mate_seq2 != complement(seq2)
     fix2 = (active[:, None] & in_ov2 & mism2
             & (mate_qual2 >= GOOD_QUAL) & (qual2 <= BAD_QUAL))

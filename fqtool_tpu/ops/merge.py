@@ -13,7 +13,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .common import complement, positions
+from .common import complement, positions, take_dyn
 from .overlap import OverlapResult
 
 
@@ -46,8 +46,7 @@ def merge_pairs(seq1, qual1, rlen1, seq2, qual2, rlen2, ov: OverlapResult) -> Me
     #                       = rcr2[(L2 - rlen2) + ol + i - len1]
     shift = (L2 - rlen2) + ov.overlap_len - len1
     idx2 = jnp.clip(pos + shift[:, None], 0, L2 - 1)
-    part2_seq = jnp.take_along_axis(rcr2, idx2, axis=1)
-    part2_qual = jnp.take_along_axis(rqr2, idx2, axis=1)
+    part2_seq, part2_qual = take_dyn((rcr2, rqr2), idx2)
     seq1_p = jnp.pad(seq1, ((0, 0), (0, LM - L1)))
     qual1_p = jnp.pad(qual1, ((0, 0), (0, LM - L1)))
     mseq = jnp.where(from_r1, seq1_p, part2_seq)

@@ -30,7 +30,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .common import A, C, G, N, T, complement, first_true, positions
+from .common import (A, C, G, N, T, complement, first_true, positions,
+                     take_dyn)
 
 COMPLETE_COMPARE_REQUIRE = 50  # overlapanalysis.cpp:14
 
@@ -47,7 +48,7 @@ def reverse_complement(seq: jnp.ndarray, rlen: jnp.ndarray) -> jnp.ndarray:
     complement of garbage and must be masked by i < rlen."""
     L = seq.shape[1]
     idx = jnp.clip(rlen[:, None] - 1 - positions(L), 0, L - 1)
-    return complement(jnp.take_along_axis(seq, idx, axis=1))
+    return complement(take_dyn(seq, idx))
 
 
 def _phase_scan50(a50: jnp.ndarray, b50_shifted: jnp.ndarray, ol: jnp.ndarray,
@@ -238,8 +239,8 @@ def analyze(seq1: jnp.ndarray, rlen1: jnp.ndarray,
     pos = positions(L)
     sh1 = jnp.maximum(offset, 0)[:, None]
     sh2 = jnp.maximum(-offset, 0)[:, None]
-    g1 = jnp.take_along_axis(s1, jnp.clip(pos + sh1, 0, L - 1), axis=1)
-    g2 = jnp.take_along_axis(rs2, jnp.clip(pos + sh2, 0, L - 1), axis=1)
+    g1 = take_dyn(s1, jnp.clip(pos + sh1, 0, L - 1))
+    g2 = take_dyn(rs2, jnp.clip(pos + sh2, 0, L - 1))
     diff = jnp.sum((g1 != g2) & (pos < overlap_len[:, None]),
                    axis=1).astype(jnp.int32)
 

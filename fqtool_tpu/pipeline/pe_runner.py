@@ -294,6 +294,9 @@ class PairEndRunner:
         executing on the device while the host folds the current one."""
         opt = self.opt
         B = pack1.count
+        from .runner import resolve_enc
+        resolve_enc(pack1)
+        resolve_enc(pack2)
         keep = np.ones(B, bool)
         if opt.index_filter.enabled:
             keep = ~(index_filter_matches(opt, pack1, opt.index_filter.blacklist1)

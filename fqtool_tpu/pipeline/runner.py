@@ -50,8 +50,12 @@ def encode_packs(it):
     the host prep (UMI rewrites names only; index filter reads names only),
     so doing it here overlaps it with the previous pack's fold."""
     from ..host.linkprobe import use_packed
-    from ..io.fastq import ReadPack
+    from ..io.fastq import ReadPack, _get_deflate_pool
     from ..ops.packed import encode_host
+
+    def enc_one(p):
+        with stage("pack_encode"):
+            return encode_host(p.seq, p.qual)
 
     it = iter(it)
     while True:
@@ -63,11 +67,18 @@ def encode_packs(it):
             return
         if use_packed():
             packs = (item,) if isinstance(item, ReadPack) else item
-            with stage("pack_encode"):
-                for p in packs:
-                    if isinstance(p, ReadPack):
-                        p.enc = encode_host(p.seq, p.qual)
+            for p in packs:
+                if isinstance(p, ReadPack):
+                    # encode on the shared pool: overlaps the next pack's
+                    # tokenize; the dispatcher resolves the future
+                    p.enc = _get_deflate_pool().submit(enc_one, p)
         yield item
+
+
+def resolve_enc(pack) -> None:
+    """Materialize a pack's in-flight transport encoding (see encode_packs)."""
+    if pack.enc is not None and hasattr(pack.enc, "result"):
+        pack.enc = pack.enc.result()
 
 
 def drain_pipelined(pending):
@@ -436,6 +447,7 @@ class SingleEndRunner:
         chunks; returns a handle for :meth:`complete_pack`."""
         opt = self.opt
         B = pack.count
+        resolve_enc(pack)
         keep = np.ones(B, bool)
         if opt.index_filter.enabled:
             keep = ~index_filter_matches(opt, pack, opt.index_filter.blacklist1)

@@ -56,3 +56,26 @@ def test_pallas_matches_direct_interpret(L):
     for f in a._fields:
         np.testing.assert_array_equal(np.asarray(getattr(a, f)),
                                       np.asarray(getattr(d, f)), err_msg=f)
+
+
+def test_take_dyn_matches_take_along_axis():
+    """take_dyn (one-hot MXU gather) must equal jnp.take_along_axis for
+    in-range indices, on every dtype it is used with."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fqtool_tpu.ops.common import take_dyn
+
+    rng = np.random.default_rng(5)
+    B, L, LO = 64, 37, 51
+    x = rng.integers(0, 256, (B, L)).astype(np.uint8)
+    q = rng.integers(33, 105, (B, L)).astype(np.uint8)
+    idx = rng.integers(0, L, (B, LO)).astype(np.int32)
+    want_x = np.take_along_axis(x, np.minimum(idx, L - 1), axis=1)
+    want_q = np.take_along_axis(q, np.minimum(idx, L - 1), axis=1)
+    got_x, got_q = take_dyn((jnp.asarray(x), jnp.asarray(q)), jnp.asarray(idx))
+    np.testing.assert_array_equal(np.asarray(got_x), want_x)
+    np.testing.assert_array_equal(np.asarray(got_q), want_q)
+    # out-of-range indices must yield 0 (documented contract)
+    oob = np.full((B, 3), L, np.int32)
+    np.testing.assert_array_equal(np.asarray(take_dyn(jnp.asarray(x), jnp.asarray(oob))), 0)
