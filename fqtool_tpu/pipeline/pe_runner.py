@@ -36,7 +36,7 @@ _XTAG_BUF = _TAG_BUF + b"paired_read_is_failing"
 _PAIRED_OFF = len(_TAG_BUF)
 _PAIRED_LEN = len(b"paired_read_is_failing")
 
-PE_CHUNK = int(os.environ.get("FQTOOL_TPU_PE_CHUNK", "8192"))
+PE_CHUNK = int(os.environ.get("FQTOOL_TPU_PE_CHUNK", "16384"))
 
 
 
@@ -160,7 +160,7 @@ class PairEndRunner:
         # pack are dispatched asynchronously before the first result is
         # fetched, so the device computes chunk k+1 while the host fetches and
         # folds chunk k (same intra-pack pattern as the SE runner)
-        pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_PE_PACK_CHUNKS", "4")))
+        pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_PE_PACK_CHUNKS", "2")))
         pack_reads = (opt.buf_size.max_reads_in_pack if opt.split.enabled
                       else min(opt.buf_size.max_reads_in_pack,
                                PE_CHUNK * pack_chunks))
@@ -243,7 +243,7 @@ class PairEndRunner:
                    ("failed", opt.failed_out)]
         writers = {name: mh.part_writer(path)
                    for name, path in streams if path}
-        pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_PE_PACK_CHUNKS", "4")))
+        pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_PE_PACK_CHUNKS", "2")))
         pack_reads = min(opt.buf_size.max_reads_in_pack, PE_CHUNK * pack_chunks)
         for gidx, pack1, pack2 in prefetch_iter(encode_packs(mh.iter_owned_pe(
                 opt.in1, opt.in2, opt.interleaved_input,

@@ -114,7 +114,7 @@ def drain_pipelined(pending):
 # counts (padded with masked rows) so the jit cache holds a handful of
 # programs regardless of input size -- recompilation would dominate runtime,
 # especially with a remote-compile TPU attachment.
-SE_CHUNK = int(os.environ.get("FQTOOL_TPU_SE_CHUNK", "131072"))
+SE_CHUNK = int(os.environ.get("FQTOOL_TPU_SE_CHUNK", "65536"))
 _BUCKETS = (256, 2048, 8192)
 
 
@@ -331,10 +331,11 @@ class SingleEndRunner:
         # boundaries, so when split is off the pack is sized as a multiple of
         # the device chunk: every chunk runs full (no padded rows), and with
         # FQTOOL_TPU_SE_PACK_CHUNKS>1 the device computes chunk k+1 while the
-        # host folds chunk k (SE measures best with one big chunk per pack --
-        # per-fetch tunnel latency outweighs the overlap; PE is the opposite,
-        # see pe_runner.py)
-        pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_SE_PACK_CHUNKS", "1")))
+        # host fetches/folds chunk k.  65536x2 measured best on the remote
+        # attachment (2.36s vs 3.89s for 131072x1 on 400k reads) -- two
+        # pipeline slots per pack amortize the per-fetch latency; on very
+        # high-latency links fewer, larger fetches may win (env-tunable).
+        pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_SE_PACK_CHUNKS", "2")))
         pack_reads = (opt.buf_size.max_reads_in_pack if opt.split.enabled
                       else SE_CHUNK * pack_chunks)
         total = 0
@@ -379,7 +380,7 @@ class SingleEndRunner:
             writers["out1"] = mh.part_writer(opt.out1)
         if opt.failed_out:
             writers["failed"] = mh.part_writer(opt.failed_out)
-        pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_SE_PACK_CHUNKS", "1")))
+        pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_SE_PACK_CHUNKS", "2")))
         pack_reads = SE_CHUNK * pack_chunks
         for gidx, pack in prefetch_iter(encode_packs(
                 mh.iter_owned_se(opt.in1, pack_reads, opt.phred64))):
