@@ -12,7 +12,6 @@ they stay on host (numpy) by design.
 from __future__ import annotations
 
 import os
-from collections import defaultdict
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -20,7 +19,7 @@ import numpy as np
 from ..config.options import Options
 from ..io.fastq import iter_records
 from .known_adapters import KNOWN_ADAPTERS
-from .nucleotidetree import dominant_path
+from .nucleotidetree import dominant_path_mat
 
 _BASE_VAL = {65: 0, 84: 1, 67: 2, 71: 3}  # A T C G
 
@@ -412,13 +411,13 @@ def detect_adapter(filename: str, trim_tail1: int) -> str:
     keylen = 10
     size = 1 << (keylen * 2)
 
-    records = _load_record_seqs(filename, READ_LIMIT, BASE_LIMIT)
+    mat, lens = _load_record_matrix(filename, READ_LIMIT, BASE_LIMIT)
 
-    if len(records) < 10000:
+    if mat.shape[0] < 10000:
         return ""
 
     shift_tail = max(1, trim_tail1)
-    counts = _count_seed_kmers(records, keylen, shift_tail)
+    counts = _count_seed_kmers(mat, lens, keylen, shift_tail)
 
     counts[0] = 0  # zero the poly-A key (evaluator.cpp:284)
     topkeys, total = _top_keys(counts, keylen)
@@ -435,39 +434,51 @@ def detect_adapter(filename: str, trim_tail1: int) -> str:
         diff = sum(1 for i in range(len(seq) - 1) if seq[i] != seq[i + 1])
         if diff < 3:
             continue
-        est = _get_adapter_with_seed(key, records, keylen, trim_tail1)
+        est = _get_adapter_with_seed(key, mat, lens, keylen, trim_tail1)
         if est:
             return est
     return ""
 
 
-def _load_record_seqs(filename: str, read_limit: int, base_limit: int) -> List[str]:
-    """Load up to read_limit/base_limit sequences; uses the native pack
-    reader when available (the python per-record path is the startup
-    bottleneck for large detection scans)."""
+def _load_record_matrix(filename: str, read_limit: int,
+                        base_limit: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Load up to read_limit/base_limit sequences as one zero-padded
+    [N, W] uint8 matrix + lens -- the whole detection pipeline stays in
+    matrix space (per-record Python strings were the startup bottleneck
+    for large detection scans)."""
     from ..io.fastq import PackReader
 
     reader = PackReader(filename, pack_reads=min(read_limit, 65536))
-    out: List[str] = []
+    mats: List[np.ndarray] = []
+    lens_parts: List[np.ndarray] = []
+    rows = 0
     bases = 0
-    while len(out) < read_limit and bases < base_limit:
-        pack = reader.next_pack()
-        if pack is None:
-            break
-        lens = np.asarray(pack.lens)
-        # bulk-decode rows: strip the zero padding per row
-        flat = pack.seq.tobytes().decode("latin-1")
-        w = pack.width
-        for i in range(pack.count):
-            if len(out) >= read_limit or bases >= base_limit:
+    try:
+        while rows < read_limit and bases < base_limit:
+            pack = reader.next_pack()
+            if pack is None:
                 break
-            n = int(lens[i])
-            out.append(flat[i * w : i * w + n])
-            bases += n
-    return out
+            lens = np.asarray(pack.lens)
+            # a record is taken iff rows-so-far < read_limit and
+            # bases-so-far < base_limit (checked before adding each record)
+            cum = np.cumsum(lens) - lens  # exclusive prefix sums
+            take = min(int(np.sum((bases + cum) < base_limit)),
+                       read_limit - rows, pack.count)
+            mats.append(pack.seq[:take])
+            lens_parts.append(lens[:take].astype(np.int32))
+            rows += take
+            bases += int(lens[:take].sum())
+    finally:
+        reader.close()
+    if not mats:
+        return np.zeros((0, 0), np.uint8), np.zeros(0, np.int32)
+    width = max(m.shape[1] for m in mats)
+    mats = [np.pad(m, ((0, 0), (0, width - m.shape[1]))) for m in mats]
+    return np.concatenate(mats), np.concatenate(lens_parts)
 
 
-def _count_seed_kmers(records: List[str], keylen: int, shift_tail: int) -> np.ndarray:
+def _count_seed_kmers(mat: np.ndarray, lens: np.ndarray, keylen: int,
+                      shift_tail: int) -> np.ndarray:
     """10-mer histogram over positions >= 20 (evaluator.cpp:273-282):
     per-length blocks through the native rolling-window scan
     (fastq_core.cpp fq_seed_hist, ~0.2s for a 256Ki-read scan), with an
@@ -476,25 +487,22 @@ def _count_seed_kmers(records: List[str], keylen: int, shift_tail: int) -> np.nd
 
     size = 1 << (keylen * 2)
     counts = np.zeros(size, np.int64)
-    # bucket records by length for uniform blocks
-    by_len: Dict[int, List[str]] = defaultdict(list)
-    for r in records:
-        by_len[len(r)].append(r)
     lut = np.full(256, -1, np.int8)
     for b, v in _BASE_VAL.items():
         lut[b] = v
-    for rlen, rs in by_len.items():
+    for rlen in np.unique(lens):
         # positions pos in [20, rlen - keylen - shift_tail]
+        rlen = int(rlen)
         last = rlen - keylen - shift_tail
         if last < 20:
             continue
-        arr = np.frombuffer("".join(rs).encode("latin-1"), np.uint8).reshape(len(rs), rlen)
+        arr = np.ascontiguousarray(mat[lens == rlen, :rlen])
         if native.seed_hist(arr, keylen, shift_tail, counts):
             continue
         codes = lut[arr].astype(np.int32)
         npos = last - 20 + 1
-        keys = np.zeros((len(rs), npos), np.int32)
-        ok = np.ones((len(rs), npos), bool)
+        keys = np.zeros((arr.shape[0], npos), np.int32)
+        ok = np.ones((arr.shape[0], npos), bool)
         for j in range(keylen):
             c = codes[:, 20 + j : 20 + j + npos]
             keys = keys * 4 + np.maximum(c, 0)
@@ -564,23 +572,49 @@ def _top_keys(counts: np.ndarray, keylen: int) -> Tuple[List[int], int]:
     return topkeys, total
 
 
-def _get_adapter_with_seed(seed: int, records: List[str], keylen: int,
-                           trim: int) -> str:
+def _get_adapter_with_seed(seed: int, mat: np.ndarray, lens: np.ndarray,
+                           keylen: int, trim: int) -> str:
     """reference: src/evaluator.cpp:392-426"""
-    shift_tail = max(1, trim)
-    fwd_seqs: List[str] = []
-    bwd_seqs: List[str] = []
-    seed_seq = int2seq(seed, keylen)
-    for r in records:
-        last = len(r) - keylen - shift_tail
-        pos = r.find(seed_seq, 20)
-        while 0 <= pos <= last:
-            fwd_seqs.append(r[pos + keylen : len(r) - shift_tail])
-            bwd_seqs.append(r[:pos][::-1])
-            pos = r.find(seed_seq, pos + 1)
+    from ..io import native
 
-    forward_path, f_leaf = dominant_path(fwd_seqs)
-    backward_path, b_leaf = dominant_path(bwd_seqs)
+    shift_tail = max(1, trim)
+    seed_seq = int2seq(seed, keylen)
+    seed_bytes = seed_seq.encode()
+    hits = native.find_seed(mat, lens, seed_bytes, 20, shift_tail)
+    if hits is None:
+        # numpy fallback: all windows == seed, positions in [20, last]
+        W = mat.shape[1]
+        if W < keylen:
+            rows = np.zeros(0, np.int64)
+            poss = np.zeros(0, np.int32)
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(mat, keylen, axis=1)
+            eq = (win == np.frombuffer(seed_bytes, np.uint8)).all(axis=2)
+            p = np.arange(eq.shape[1])[None, :]
+            last = (lens - keylen - shift_tail)[:, None]
+            rows, poss = np.nonzero(eq & (p >= 20) & (p <= last))
+            poss = poss.astype(np.int32)
+    else:
+        rows, poss = hits
+
+    # forward tree: r[pos+keylen : len-shift_tail]; backward: r[:pos][::-1]
+    hlens = lens[rows]
+    fw = int(max(int((hlens - shift_tail - (poss + keylen)).max(initial=0)), 0))
+    pos_ax = np.arange(max(fw, 1), dtype=np.int32)[None, :]
+    src = np.clip((poss + keylen)[:, None] + pos_ax, 0, max(mat.shape[1] - 1, 0))
+    fwd_mat = mat[rows[:, None], src] if len(rows) else np.zeros((0, 1), np.uint8)
+    if len(rows):
+        fwd_mat = np.where(pos_ax < (hlens - shift_tail - poss - keylen)[:, None],
+                           fwd_mat, 0).astype(np.uint8)
+    bw = int(poss.max(initial=0))
+    bpos_ax = np.arange(max(bw, 1), dtype=np.int32)[None, :]
+    bsrc = np.clip(poss[:, None] - 1 - bpos_ax, 0, max(mat.shape[1] - 1, 0))
+    bwd_mat = mat[rows[:, None], bsrc] if len(rows) else np.zeros((0, 1), np.uint8)
+    if len(rows):
+        bwd_mat = np.where(bpos_ax < poss[:, None], bwd_mat, 0).astype(np.uint8)
+
+    forward_path, f_leaf = dominant_path_mat(fwd_mat)
+    backward_path, b_leaf = dominant_path_mat(bwd_mat)
     reached_leaf = f_leaf and b_leaf
     adapter = backward_path[::-1] + seed_seq + forward_path
     if len(adapter) > 60:

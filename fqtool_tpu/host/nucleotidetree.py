@@ -84,7 +84,7 @@ _BASE_ORDER = np.frombuffer(b"ACTG", np.uint8)
 
 
 def dominant_path(seqs: List[str]) -> Tuple[str, bool]:
-    """Vectorized ``add_seq``-all + ``get_dominant_path``.
+    """Vectorized ``add_seq``-all + ``get_dominant_path`` over strings.
 
     Equivalent to inserting every sequence into a fresh trie and walking the
     dominant branch: a sequence contributes a child at depth d iff its first
@@ -101,6 +101,15 @@ def dominant_path(seqs: List[str]) -> Tuple[str, bool]:
     for i, s in enumerate(seqs):
         if s:
             mat[i, : len(s)] = np.frombuffer(s.encode("latin-1"), np.uint8)
+    return dominant_path_mat(mat)
+
+
+def dominant_path_mat(mat: np.ndarray) -> Tuple[str, bool]:
+    """Matrix form of :func:`dominant_path`: rows are zero-padded uint8
+    sequences; a row's insertion stops at its first 'N' or 0 byte."""
+    n, width = mat.shape
+    if n == 0 or width == 0:
+        return "", True
     # effective insertion depth: first 'N' or end of string (0 padding)
     stop = (mat == ord("N")) | (mat == 0)
     eff = np.where(stop.any(axis=1), stop.argmax(axis=1), width)

@@ -110,6 +110,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.fq_top_keys.restype = None
         lib.fq_top_keys.argtypes = [_i64p, _i64p, ctypes.c_int64,
                                     ctypes.c_int32, _i64p]
+        lib.fq_find_seed.restype = ctypes.c_int64
+        lib.fq_find_seed.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int64,
+                                     _i32p, _u8p, ctypes.c_int32,
+                                     ctypes.c_int32, ctypes.c_int32,
+                                     _i64p, _i32p, ctypes.c_int64]
         _u64p = ctypes.POINTER(ctypes.c_uint64)
         lib.fq_contain_pairs.restype = ctypes.c_int64
         lib.fq_contain_pairs.argtypes = [_u8p, _i64p, _i64p,
@@ -212,6 +217,31 @@ def seed_hist(block: np.ndarray, keylen: int, shift_tail: int,
     lib.fq_seed_hist(_ptr(block, _u8p), block.shape[0], block.shape[1],
                      keylen, shift_tail, _ptr(counts, _i64p))
     return True
+
+
+def find_seed(mat: np.ndarray, lens: np.ndarray, seed: bytes,
+              min_pos: int, shift_tail: int):
+    """All (row, pos) occurrences of ``seed`` in each row's first
+    ``lens[r] - len(seed) - shift_tail + len(seed)`` bytes starting at
+    ``min_pos`` (reference find loop, evaluator.cpp:398-409).  None without
+    the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    mat = np.ascontiguousarray(mat, np.uint8)
+    lens = np.ascontiguousarray(lens, np.int32)
+    seed_arr = np.frombuffer(seed, np.uint8)
+    cap = max(len(lens), 1024)
+    while True:
+        out_row = np.empty(cap, np.int64)
+        out_pos = np.empty(cap, np.int32)
+        m = lib.fq_find_seed(_ptr(mat, _u8p), mat.shape[0], mat.shape[1],
+                             _ptr(lens, _i32p), _ptr(seed_arr, _u8p),
+                             len(seed), min_pos, shift_tail,
+                             _ptr(out_row, _i64p), _ptr(out_pos, _i32p), cap)
+        if m <= cap:
+            return out_row[:m], out_pos[:m]
+        cap = int(m)
 
 
 def top_keys(counts: np.ndarray, candidates: np.ndarray,

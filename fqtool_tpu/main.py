@@ -52,8 +52,16 @@ def run(opt: Options) -> None:
         if opt.over_rep.enabled:
             evaluator.evaluate_over_rep_seqs(opt)
         if opt.adapter.enable_detect_for_pe:
-            evaluator.evaluate_adapter_seq(opt, False)
-            evaluator.evaluate_adapter_seq(opt, True)
+            # independent full-prefix scans of R1 and R2 (the reference runs
+            # them back to back, main.cpp:141-142); each writes only its own
+            # opt.adapter field and the scan path is matrix/native code that
+            # releases the GIL, so two threads overlap cleanly
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f1 = ex.submit(evaluator.evaluate_adapter_seq, opt, False)
+                f2 = ex.submit(evaluator.evaluate_adapter_seq, opt, True)
+                f1.result()
+                f2.result()
 
     # SE/PE dispatch (processor.cpp:10-19)
     if opt.is_paired():

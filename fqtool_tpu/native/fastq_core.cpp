@@ -477,6 +477,29 @@ uint64_t fq_hash64(const uint8_t* s, int64_t n) {
     return h;
 }
 
+// All occurrences of `seed` in each row of a [n, width] matrix, replicating
+// the reference's find loop (evaluator.cpp:398-409): positions scanned from
+// min_pos, accepted while pos <= len - seedlen - shift_tail.  Returns the
+// TOTAL occurrence count; only the first `cap` pairs are written, so a
+// return > cap tells the caller to retry with a bigger buffer.
+int64_t fq_find_seed(const uint8_t* mat, int64_t n, int64_t width,
+                     const int32_t* lens, const uint8_t* seed,
+                     int32_t seedlen, int32_t min_pos, int32_t shift_tail,
+                     int64_t* out_row, int32_t* out_pos, int64_t cap) {
+    int64_t m = 0;
+    for (int64_t r = 0; r < n; ++r) {
+        int32_t last = lens[r] - seedlen - shift_tail;
+        const uint8_t* row = mat + r * width;
+        for (int32_t p = min_pos; p <= last; ++p) {
+            if (memcmp(row + p, seed, (size_t)seedlen) == 0) {
+                if (m < cap) { out_row[m] = r; out_pos[m] = p; }
+                ++m;
+            }
+        }
+    }
+    return m;
+}
+
 // The reference's quirky top-10 seed insertion loop, replicated exactly
 // (evaluator.cpp:287-337): iterate candidate keys ascending; a value beating
 // position t>0 inserts at t+1, while one beating position 0 shifts and
