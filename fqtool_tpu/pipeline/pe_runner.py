@@ -387,7 +387,9 @@ class PairEndRunner:
 
         if opt.merge_pe.enabled:
             self.filter_result.add_merged_pairs(merged_count)
-        return {k: b"".join(v) for k, v in parts.items()} | {"read_passed": read_passed}
+        return {k: b"".join(x.result() if hasattr(x, "result") else x
+                            for x in v)
+                for k, v in parts.items()} | {"read_passed": read_passed}
 
     # ------------------------------------------------------------------
     def _fold_chunk(self, out, pack1, pack2, lo, n, keep, start1, start2,
@@ -600,11 +602,18 @@ class PairEndRunner:
         self._post2_counter += len(idx2)
 
         if m_written.any() or (m_unm & (pass1v | pass2v)).any():
-            with stage("pe_fold_format_merged"):
-                parts["merged"].append(self._format_merged_interleaved(
-                    pack1, pack2, lo, n, m_written, m_unm & pass1v,
-                    m_unm & pass2v, m_seq, m_qual, m_rlen, m_len1, m_len2,
-                    mats, front1, front2, rlen1, rlen2))
+            # format on the shared pool (native formatter releases the GIL):
+            # overlaps the next chunk's fetch; every input is chunk-local or
+            # immutable, and complete_pack resolves the future in order
+            from ..io.fastq import _get_deflate_pool
+
+            def fmt(args=(pack1, pack2, lo, n, m_written, m_unm & pass1v,
+                          m_unm & pass2v, m_seq, m_qual, m_rlen, m_len1,
+                          m_len2, mats, front1, front2, rlen1, rlen2)):
+                with stage("pe_fold_format_merged"):
+                    return self._format_merged_interleaved(*args)
+
+            parts["merged"].append(_get_deflate_pool().submit(fmt))
 
         # in merge mode the fallthrough pairs never advance the post
         # counters (peprocessor.cpp:387-400 guard), hence sampling=0
