@@ -599,22 +599,19 @@ def _get_adapter_with_seed(seed: int, mat: np.ndarray, lens: np.ndarray,
 
     # forward tree: r[pos+keylen : len-shift_tail]; backward: r[:pos][::-1]
     hlens = lens[rows]
-    fw = int(max(int((hlens - shift_tail - (poss + keylen)).max(initial=0)), 0))
+    flens = np.maximum(hlens - shift_tail - poss - keylen, 0).astype(np.int32)
+    fw = int(flens.max(initial=0))
     pos_ax = np.arange(max(fw, 1), dtype=np.int32)[None, :]
     src = np.clip((poss + keylen)[:, None] + pos_ax, 0, max(mat.shape[1] - 1, 0))
     fwd_mat = mat[rows[:, None], src] if len(rows) else np.zeros((0, 1), np.uint8)
-    if len(rows):
-        fwd_mat = np.where(pos_ax < (hlens - shift_tail - poss - keylen)[:, None],
-                           fwd_mat, 0).astype(np.uint8)
-    bw = int(poss.max(initial=0))
+    blens = poss.astype(np.int32)
+    bw = int(blens.max(initial=0))
     bpos_ax = np.arange(max(bw, 1), dtype=np.int32)[None, :]
     bsrc = np.clip(poss[:, None] - 1 - bpos_ax, 0, max(mat.shape[1] - 1, 0))
     bwd_mat = mat[rows[:, None], bsrc] if len(rows) else np.zeros((0, 1), np.uint8)
-    if len(rows):
-        bwd_mat = np.where(bpos_ax < poss[:, None], bwd_mat, 0).astype(np.uint8)
 
-    forward_path, f_leaf = dominant_path_mat(fwd_mat)
-    backward_path, b_leaf = dominant_path_mat(bwd_mat)
+    forward_path, f_leaf = dominant_path_mat(fwd_mat, flens)
+    backward_path, b_leaf = dominant_path_mat(bwd_mat, blens)
     reached_leaf = f_leaf and b_leaf
     adapter = backward_path[::-1] + seed_seq + forward_path
     if len(adapter) > 60:

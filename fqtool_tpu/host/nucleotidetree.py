@@ -76,20 +76,14 @@ class NucleotideTree:
         return "".join(out), reached_leaf
 
 
-# child-index order of the reference's 0..7 array scan: A&7=1, C&7=3, T&7=4,
-# G&7=7 (only ACGT occur; N stops insertion).  At most one child can hold
-# >= 95% of the total, so the scan order cannot change the outcome -- kept
-# for exactness.
-_BASE_ORDER = np.frombuffer(b"ACTG", np.uint8)
-
-
 def dominant_path(seqs: List[str]) -> Tuple[str, bool]:
     """Vectorized ``add_seq``-all + ``get_dominant_path`` over strings.
 
     Equivalent to inserting every sequence into a fresh trie and walking the
     dominant branch: a sequence contributes a child at depth d iff its first
     'N' (insertion stop, nucleotidetree.cpp:45-46) and its length both lie
-    beyond d and its prefix matches the path chosen so far.
+    beyond d and its bucketed prefix (``base & 0x07``) matches the path
+    chosen so far.
     """
     n = len(seqs)
     if n == 0:
@@ -98,22 +92,34 @@ def dominant_path(seqs: List[str]) -> Tuple[str, bool]:
     if width == 0:
         return "", True
     mat = np.zeros((n, width), np.uint8)
+    lens = np.zeros(n, np.int32)
     for i, s in enumerate(seqs):
         if s:
             mat[i, : len(s)] = np.frombuffer(s.encode("latin-1"), np.uint8)
-    return dominant_path_mat(mat)
+            lens[i] = len(s)
+    return dominant_path_mat(mat, lens)
 
 
-def dominant_path_mat(mat: np.ndarray) -> Tuple[str, bool]:
-    """Matrix form of :func:`dominant_path`: rows are zero-padded uint8
-    sequences; a row's insertion stops at its first 'N' or 0 byte."""
+def dominant_path_mat(mat: np.ndarray, lens: np.ndarray) -> Tuple[str, bool]:
+    """Matrix form of :func:`dominant_path`: rows are uint8 sequences of
+    explicit length ``lens[r]`` (bytes past that are ignored).
+
+    Replicates the trie exactly: children are bucketed by ``byte & 0x07``
+    (so e.g. 'W' and 'G' share a bucket and their counts merge,
+    nucleotidetree.cpp:44), buckets are scanned in 0..7 order, rows in
+    insertion (row) order, and the path character at each level is the byte
+    of the FIRST row that created the node -- the trie stores the creating
+    insertion's character (nucleotidetree.cpp:49-51), not the bucket.
+    """
     n, width = mat.shape
     if n == 0 or width == 0:
         return "", True
-    # effective insertion depth: first 'N' or end of string (0 padding)
-    stop = (mat == ord("N")) | (mat == 0)
-    eff = np.where(stop.any(axis=1), stop.argmax(axis=1), width)
+    # effective insertion depth: first 'N' (insertion stop) or end of row
+    isn = mat == ord("N")
+    firstn = np.where(isn.any(axis=1), isn.argmax(axis=1), width)
+    eff = np.minimum(firstn, lens.astype(np.int64))
 
+    buckets = mat & 7
     active = np.ones(n, bool)
     out: List[str] = []
     for d in range(width):
@@ -121,12 +127,14 @@ def dominant_path_mat(mat: np.ndarray) -> Tuple[str, bool]:
         total = int(contrib.sum())
         if total < NUM_THRESHOLD:
             return "".join(out), True
-        col = mat[:, d]
-        for b in _BASE_ORDER:
-            cnt = int(((col == b) & contrib).sum())
-            if cnt / total >= RATIO_THRESHOLD:
-                out.append(chr(b))
-                active = contrib & (col == b)
+        col = buckets[:, d]
+        for b in range(8):
+            in_bucket = (col == b) & contrib
+            cnt = int(in_bucket.sum())
+            if cnt and cnt / total >= RATIO_THRESHOLD:
+                creator = int(np.argmax(in_bucket))  # first row in order
+                out.append(chr(mat[creator, d]))
+                active = in_bucket
                 break
         else:
             return "".join(out), False

@@ -45,13 +45,16 @@ def stage(name: str):
 
 
 def dump() -> None:
-    if not _totals:
+    with _lock:  # background threads may still be recording at exit
+        totals = dict(_totals)
+        counts = dict(_counts)
+    if not totals:
         return
-    total = sum(_totals.values())
+    total = sum(totals.values())
     sys.stderr.write("=== fqtool_tpu stage timing ===\n")
-    for name, t in sorted(_totals.items(), key=lambda kv: -kv[1]):
+    for name, t in sorted(totals.items(), key=lambda kv: -kv[1]):
         sys.stderr.write(
-            f"{name:>24}: {t:8.3f}s  ({_counts[name]:6d} calls, "
+            f"{name:>24}: {t:8.3f}s  ({counts[name]:6d} calls, "
             f"{100.0 * t / total:5.1f}%)\n")
 
 

@@ -531,29 +531,33 @@ def _truncate_pack(p: ReadPack, n: int) -> ReadPack:
                     p.seq[:n], p.qual[:n], p.lens[:n])
 
 
-# Shared deflate pool for every gzip OutputWriter in the process: output
-# compression was the dominant steady-state cost of the SE pipelines (the
-# single writer thread deflated ~100 MB/run while three cores idled).
-# Blocks compress concurrently pigz-style and are stitched, in order, into
-# ONE valid gzip member: each block is an independent raw-deflate stream
-# ended with Z_FULL_FLUSH (byte-aligned, empty-stored-block marker), and
-# close() appends a final empty Z_FINISH block plus the crc32/isize trailer.
-# Same input bytes => same block boundaries => deterministic output.
+# Shared worker pool for GIL-releasing host work: gzip block deflate
+# (below), packed-transport encode, and merged-record formatting all ride
+# it, so total host CPU stays bounded near the core count.  Deflate is the
+# founding use: output compression was the dominant steady-state cost of
+# the SE pipelines (the single writer thread deflated ~100 MB/run while
+# three cores idled).  Blocks compress concurrently pigz-style and are
+# stitched, in order, into ONE valid gzip member: each block is an
+# independent raw-deflate stream ended with Z_FULL_FLUSH (byte-aligned,
+# empty-stored-block marker), and close() appends a final empty Z_FINISH
+# block plus the crc32/isize trailer.  Same input bytes => same block
+# boundaries => deterministic output.
 _DEFLATE_BLOCK = 1 << 20
-_deflate_pool = None
-_deflate_pool_lock = threading.Lock()
+_shared_pool = None
+_shared_pool_lock = threading.Lock()
 
 
-def _get_deflate_pool():
-    global _deflate_pool
-    if _deflate_pool is None:
-        with _deflate_pool_lock:
-            if _deflate_pool is None:
+def shared_pool():
+    """Process-wide bounded ThreadPoolExecutor for GIL-releasing host work."""
+    global _shared_pool
+    if _shared_pool is None:
+        with _shared_pool_lock:
+            if _shared_pool is None:
                 from concurrent.futures import ThreadPoolExecutor
                 n = max(2, min(6, os.cpu_count() or 1))
-                _deflate_pool = ThreadPoolExecutor(
-                    max_workers=n, thread_name_prefix="fq_deflate")
-    return _deflate_pool
+                _shared_pool = ThreadPoolExecutor(
+                    max_workers=n, thread_name_prefix="fq_pool")
+    return _shared_pool
 
 
 def _deflate_block(block: bytes, level: int) -> bytes:
@@ -592,7 +596,7 @@ class OutputWriter:
         self._crc = zlib.crc32(block, self._crc)
         self._size += len(block)
         self._pending.append(
-            _get_deflate_pool().submit(_deflate_block, block, self._level))
+            shared_pool().submit(_deflate_block, block, self._level))
         # opportunistic in-order drain; hard-bound the in-flight window
         while self._pending and self._pending[0].done():
             self._fh.write(self._pending.popleft().result())

@@ -87,6 +87,14 @@ def take_dyn(planes, idx: jnp.ndarray):
     if single:
         planes = (planes,)
     lx = planes[0].shape[1]
+    # the one-hot is an O(B*Lo*Lx) HBM intermediate where the gather is
+    # O(B*Lo); past ~1 GiB (very long reads x big chunks) fall back to the
+    # scalar-path gather rather than risk device OOM.  Every call site
+    # pre-clips idx in range, where the two are element-identical.
+    if planes[0].shape[0] * idx.shape[1] * lx * 2 > (1 << 30):
+        outs = tuple(jnp.take_along_axis(p, jnp.clip(idx, 0, lx - 1), axis=1)
+                     for p in planes)
+        return outs[0] if single else outs
     hot = (idx[:, :, None] ==
            jax.lax.broadcasted_iota(jnp.int32, (1, 1, lx), 2)
            ).astype(jnp.bfloat16)
@@ -98,12 +106,18 @@ def take_dyn(planes, idx: jnp.ndarray):
     return outs[0] if single else outs
 
 
-def align(seq: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
+def align(planes, start: jnp.ndarray):
     """Left-align each row at ``start``; positions past the end read
-    whatever padding is there -- callers must mask by the new length."""
-    width = seq.shape[1]
+    whatever padding is there -- callers must mask by the new length.
+    ``planes``: one [B, L] array or a (seq, qual) pair sharing the shift
+    (one one-hot contraction instead of two)."""
+    single = not isinstance(planes, (tuple, list))
+    if single:
+        planes = (planes,)
+    width = planes[0].shape[1]
     idx = jnp.minimum(start[:, None] + positions(width), width - 1)
-    return take_dyn(seq, idx)
+    out = take_dyn(planes, idx)
+    return out[0] if single else out
 
 
 def align_static(seq: jnp.ndarray, k: int) -> jnp.ndarray:

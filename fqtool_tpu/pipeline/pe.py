@@ -74,29 +74,25 @@ def pe_pipeline(
             seq1 = align_static(seq1, start1_static)
             qual1 = align_static(qual1, start1_static)
         else:
-            seq1 = align(seq1, start1)
-            qual1 = align(qual1, start1)
+            seq1, qual1 = align((seq1, qual1), start1)
         lens1 = lens1 - start1
         if start2_static >= 0:
             seq2 = align_static(seq2, start2_static)
             qual2 = align_static(qual2, start2_static)
         else:
-            seq2 = align(seq2, start2)
-            qual2 = align(qual2, start2)
+            seq2, qual2 = align((seq2, qual2), start2)
         lens2 = lens2 - start2
 
     # 4. trimAndCut per side (peprocessor.cpp:292-293)
     tc1 = ops_qualcut.trim_and_cut(seq1, qual1, lens1, p.front, p.tail, p)
     tc2 = ops_qualcut.trim_and_cut(seq2, qual2, lens2, p2.front, p2.tail, p2)
     if p.cut_front:
-        seq1 = align(seq1, tc1.front)
-        qual1 = align(qual1, tc1.front)
+        seq1, qual1 = align((seq1, qual1), tc1.front)
     elif p.front > 0:  # static force trim: slice+pad, no gather
         seq1 = align_static(seq1, p.front)
         qual1 = align_static(qual1, p.front)
     if p2.cut_front:
-        seq2 = align(seq2, tc2.front)
-        qual2 = align(qual2, tc2.front)
+        seq2, qual2 = align((seq2, qual2), tc2.front)
     elif p2.front > 0:
         seq2 = align_static(seq2, p2.front)
         qual2 = align_static(qual2, p2.front)

@@ -605,7 +605,7 @@ class PairEndRunner:
             # format on the shared pool (native formatter releases the GIL):
             # overlaps the next chunk's fetch; every input is chunk-local or
             # immutable, and complete_pack resolves the future in order
-            from ..io.fastq import _get_deflate_pool
+            from ..io.fastq import shared_pool
 
             def fmt(args=(pack1, pack2, lo, n, m_written, m_unm & pass1v,
                           m_unm & pass2v, m_seq, m_qual, m_rlen, m_len1,
@@ -613,7 +613,7 @@ class PairEndRunner:
                 with stage("pe_fold_format_merged"):
                     return self._format_merged_interleaved(*args)
 
-            parts["merged"].append(_get_deflate_pool().submit(fmt))
+            parts["merged"].append(shared_pool().submit(fmt))
 
         # in merge mode the fallthrough pairs never advance the post
         # counters (peprocessor.cpp:387-400 guard), hence sampling=0

@@ -50,7 +50,7 @@ def encode_packs(it):
     the host prep (UMI rewrites names only; index filter reads names only),
     so doing it here overlaps it with the previous pack's fold."""
     from ..host.linkprobe import use_packed
-    from ..io.fastq import ReadPack, _get_deflate_pool
+    from ..io.fastq import ReadPack, shared_pool
     from ..ops.packed import encode_host
 
     def enc_one(p):
@@ -71,7 +71,7 @@ def encode_packs(it):
                 if isinstance(p, ReadPack):
                     # encode on the shared pool: overlaps the next pack's
                     # tokenize; the dispatcher resolves the future
-                    p.enc = _get_deflate_pool().submit(enc_one, p)
+                    p.enc = shared_pool().submit(enc_one, p)
         yield item
 
 

@@ -80,8 +80,7 @@ def se_pipeline(
             seq = align_static(seq, start0_static)
             qual = align_static(qual, start0_static)
         else:
-            seq = align(seq, start0)
-            qual = align(qual, start0)
+            seq, qual = align((seq, qual), start0)
         lens = lens - start0
     else:
         start0 = jnp.zeros_like(lens)
@@ -89,8 +88,7 @@ def se_pipeline(
     # 4. force trims + quality cuts (seprocessor.cpp:313)
     tc = ops_qualcut.trim_and_cut(seq, qual, lens, p.front, p.tail, p)
     if p.cut_front:
-        seq = align(seq, tc.front)
-        qual = align(qual, tc.front)
+        seq, qual = align((seq, qual), tc.front)
     elif p.front > 0:
         # without the quality front-cut the offset is the static force trim:
         # a slice+pad beats the per-row gather by ~100x at full chunk width

@@ -143,17 +143,19 @@ def test_dominant_path_matches_trie():
     from fqtool_tpu.host.nucleotidetree import NucleotideTree, dominant_path
 
     rng = random.Random(7)
-    for case in range(40):
+    for case in range(60):
         n = rng.choice([0, 1, 30, 49, 50, 51, 200, 800])
         base = "".join(rng.choice("ACGT") for _ in range(rng.randint(5, 40)))
         seqs = []
         for _ in range(n):
             s = list(base)
             # random mutations, truncations and N injections so levels
-            # hover around the 95%/50 thresholds
+            # hover around the 95%/50 thresholds; include IUPAC and
+            # lowercase bytes, which the trie buckets by base & 0x07
+            # ('W' merges with 'G', 'a' with 'A' or 'I'...)
             for _ in range(rng.randint(0, 3)):
                 i = rng.randrange(len(s))
-                s[i] = rng.choice("ACGTN")
+                s[i] = rng.choice("ACGTNWacgtRYK")
             s = "".join(s[: rng.randint(0, len(s))])
             seqs.append(s)
         tree = NucleotideTree()
