@@ -152,3 +152,35 @@ def test_blank_lines_between_records(oracle, tmp_path):
     fq.write_bytes("".join(parts).encode())
     check(oracle, tmp_path, ["-i", str(fq), "-o", "out.fq.gz"],
           ["out.fq.gz"])
+
+
+def test_pe_long_reads_merge(oracle, tmp_path):
+    """Long-read PE with merge+correction: exercises the chunk-cap halving,
+    the take_dyn size guard, and merged-read assembly at widths ~500 with
+    genuinely overlapping pairs (r2 = revcomp of a shifted window of r1's
+    template, low-qual mismatches sprinkled in for correction)."""
+    rng = random.Random(33)
+    comp = {"A": "T", "T": "A", "C": "G", "G": "C", "N": "N"}
+    fq1, fq2 = tmp_path / "m1.fq", tmp_path / "m2.fq"
+    with open(fq1, "wb") as f1, open(fq2, "wb") as f2:
+        for i in range(300):
+            tlen = rng.choice([550, 700, 820])
+            template = "".join(rng.choices("ACGT", k=tlen))
+            n1 = rng.choice([400, 480])
+            n2 = rng.choice([400, 480])
+            r1 = template[:n1]
+            tail = template[max(0, tlen - n2):]
+            r2 = "".join(comp[b] for b in reversed(tail))
+            if rng.random() < 0.5 and len(r2) > 50:  # correction bait
+                j = rng.randrange(20, len(r2) - 20)
+                r2 = r2[:j] + rng.choice("ACGT") + r2[j + 1:]
+            q1 = "".join(chr(rng.randint(55, 73)) for _ in range(len(r1)))
+            q2 = list(chr(rng.randint(55, 73)) for _ in range(len(r2)))
+            for k in rng.sample(range(len(r2)), 5):
+                q2[k] = chr(rng.randint(33, 46))  # low-qual positions
+            f1.write(f"@ML{i} 1:N:0:AAAA\n{r1}\n+\n{q1}\n".encode())
+            f2.write(f"@ML{i} 2:N:0:AAAA\n{r2}\n+\n{''.join(q2)}\n".encode())
+    check(oracle, tmp_path,
+          ["-i", str(fq1), "-I", str(fq2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
+           "-m", "--merge_output", "m.fq.gz", "-c"],
+          ["o1.fq.gz", "o2.fq.gz", "m.fq.gz"])
