@@ -33,11 +33,53 @@ from .host import evaluator
 from .pipeline.runner import SingleEndRunner, loginfo
 
 
+def _spool_stdin(opt: Options) -> Optional[str]:
+    """Spool /dev/stdin to a temp file so the pre-passes and the main pass
+    can each open the input independently.
+
+    The reference shares the single ``stdin`` FILE* between the evaluator
+    pre-passes and the processor (fqreader.cpp:51-53); the pre-pass consumes
+    and closes the stream, and the main pass segfaults — stdin input is
+    effectively broken there.  Spooling once makes every feature (split
+    sizing, ORA, adapter detection, getBytes totals) work from a pipe.
+    Gzip is sniffed from the magic bytes rather than the filename.
+    """
+    if opt.in1 != "/dev/stdin" and opt.in2 != "/dev/stdin":
+        return None
+    import shutil
+    import tempfile
+
+    src = sys.stdin.buffer
+    head = src.read(2)
+    suffix = ".fq.gz" if head == b"\x1f\x8b" else ".fq"
+    tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+    tmp.write(head)
+    shutil.copyfileobj(src, tmp, 1 << 20)
+    tmp.close()
+    if opt.in1 == "/dev/stdin":
+        opt.in1 = tmp.name
+    if opt.in2 == "/dev/stdin":
+        opt.in2 = tmp.name
+    return tmp.name
+
+
 def run(opt: Options) -> None:
     # multi-host process group, if configured: jax.distributed.initialize
     # must run before any backend use, so this precedes the pre-passes
     from .dist import multihost
     multihost.active()
+
+    spooled = _spool_stdin(opt)
+    if spooled is not None:
+        try:
+            _run(opt)
+        finally:
+            os.unlink(spooled)
+    else:
+        _run(opt)
+
+
+def _run(opt: Options) -> None:
 
     # evaluation pre-passes (main.cpp:128-143).  The read-number estimate
     # scans up to 512Ki records but is consumed only by -s split sizing

@@ -217,3 +217,52 @@ def test_phred64_pe(oracle, tmp_path):
            "-O", "o2.fq.gz", "-q", "--phred64", "-c", "-m",
            "--merge_output", "m.fq.gz"],
           ["o1.fq.gz", "o2.fq.gz", "m.fq.gz"])
+
+
+class _StdinFromFile:
+    """Substitute sys.stdin whose .buffer reads a prepared file."""
+
+    def __init__(self, path):
+        self.buffer = open(path, "rb")
+
+
+def test_stdin_input_plain(oracle, tmp_path, monkeypatch):
+    # The reference shares the stdin FILE* between the evaluator pre-pass
+    # and the processor (fqreader.cpp:51-53) and segfaults on -i /dev/stdin;
+    # we spool stdin to a temp file instead (main._spool_stdin), so output
+    # must equal the oracle run on the equivalent named file.
+    import sys as _sys
+
+    plain = tmp_path / "in.fq"
+    with gzip.open(R1, "rb") as f:
+        plain.write_bytes(f.read())
+
+    oracle_dir = tmp_path / "oracle"
+    res = oracle.run(["-i", str(plain), "-o", "out.fq", "-q", "-w", "1"],
+                     oracle_dir)
+    assert res.returncode == 0, res.stderr
+
+    ours_dir = tmp_path / "ours"
+    monkeypatch.setattr(_sys, "stdin", _StdinFromFile(plain))
+    run_ours(["-i", "/dev/stdin", "-o", "out.fq", "-q"], ours_dir)
+    d = diff_fastq(read_fastq(ours_dir / "out.fq"),
+                   read_fastq(oracle_dir / "out.fq"))
+    assert not d, "\n".join(d)
+
+
+def test_stdin_input_gzip_sniffed(oracle, tmp_path, monkeypatch):
+    # gzip on stdin is detected from the magic bytes (the reference decides
+    # by filename suffix, so gzip-on-stdin is impossible there)
+    import sys as _sys
+
+    oracle_dir = tmp_path / "oracle"
+    res = oracle.run(["-i", str(R1), "-o", "out.fq", "-q", "-w", "1"],
+                     oracle_dir)
+    assert res.returncode == 0, res.stderr
+
+    ours_dir = tmp_path / "ours"
+    monkeypatch.setattr(_sys, "stdin", _StdinFromFile(R1))
+    run_ours(["-i", "/dev/stdin", "-o", "out.fq", "-q"], ours_dir)
+    d = diff_fastq(read_fastq(ours_dir / "out.fq"),
+                   read_fastq(oracle_dir / "out.fq"))
+    assert not d, "\n".join(d)
