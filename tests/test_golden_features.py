@@ -266,3 +266,20 @@ def test_stdin_input_gzip_sniffed(oracle, tmp_path, monkeypatch):
     d = diff_fastq(read_fastq(ours_dir / "out.fq"),
                    read_fastq(oracle_dir / "out.fq"))
     assert not d, "\n".join(d)
+
+
+def test_buffer_and_dead_flags_output_invariant(oracle, tmp_path):
+    # --max_packs_in_repo/--max_packs_in_mem tune ring sizes in the
+    # reference (options.h:15-24) and never change output; -W/-M parse but
+    # never propagate (quirk: main.cpp defines them, options.update ignores
+    # them).  All four must be accepted and output-invariant, matching the
+    # oracle run with the same flags.
+    args_plain = ["-i", str(R1), "-o", "out.fq.gz", "-q", "--enable_cut_front", "--enable_cut_tail"]
+    extra = ["--max_packs_in_repo", "5", "--max_packs_in_mem", "3",
+             "-W", "10", "-M", "30"]
+    base_dir = tmp_path / "base"
+    run_ours(args_plain, base_dir)
+    check(oracle, tmp_path, args_plain + extra, ["out.fq.gz"])
+    d = diff_fastq(read_fastq(base_dir / "out.fq.gz"),
+                   read_fastq(tmp_path / "ours" / "out.fq.gz"))
+    assert not d, "\n".join(d)
