@@ -46,6 +46,12 @@ def _spool_stdin(opt: Options) -> Optional[str]:
     """
     if opt.in1 != "/dev/stdin" and opt.in2 != "/dev/stdin":
         return None
+    from .config.options import OptionError
+    from .dist import multihost
+    if multihost.active() is not None:
+        # each rank has its own stdin; striping one stream across hosts
+        # needs a shared file path
+        raise OptionError("stdin input is not supported in multi-host runs")
     import shutil
     import tempfile
 
