@@ -4,16 +4,33 @@ Measures end-to-end CLI throughput (gzip in -> device pipeline -> gzip out ->
 reports) on replicated copies of the reference testdata, steady-state (a
 small warm-up run absorbs JIT compilation; the reference binary has no
 comparable startup cost, and steady-state is the honest comparison for a
-streaming tool).  Prints ONE JSON line: the headline SE metric in the
-driver's schema plus a ``configs`` map with every config's reads/s and
-``stages`` with the per-stage wall-time split from host/tracing.py.
+streaming tool).
 
-Baselines: the reference binary measured in this container (BASELINE.md;
-1 vCPU, best of 3).
+Output contract (the driver tails stdout and parses the LAST line):
+  * stderr: progress + the per-stage timing dump (host/tracing.py), flushed
+    BEFORE the final line so it can never land after the metric.
+  * ``bench_details.json`` (repo root): full per-config walls, stage splits,
+    device-only ablation, link probe.
+  * stdout, final line: ONE slim JSON object in the driver schema --
+    ``{metric, value, unit, vs_baseline, configs, device_only, link_mbps}``
+    where ``configs``/``device_only`` are flat ``{name: reads_per_sec}``.
+
+Two throughput views per config:
+  * end-to-end reads/s: the full CLI run (what a user sees), best of reps.
+  * device-only reads/s: the jitted pipeline kernel looped on device-resident
+    inputs via ``lax.scan`` (optimization barriers pin the body inside the
+    loop), isolating the chip from the attachment link.  This is the number
+    that transfers to a direct PCIe/ICI attachment.
+
+Baselines: the reference binary measured in this container (BASELINE.md),
+plus the polyG config's oracle re-measured on the representative generated
+input (see gen_polyg_input; the original input was 400k copies of one read).
 """
 
 from __future__ import annotations
 
+import atexit
+import gzip
 import json
 import os
 import shutil
@@ -24,12 +41,17 @@ import time
 os.environ.setdefault("FQTOOL_TPU_TRACE", "1")
 
 TESTDATA = "/root/reference/testdata"
+REPO = os.path.dirname(os.path.abspath(__file__))
+QUICK = os.environ.get("FQTOOL_TPU_BENCH_QUICK", "") == "1"
 
-# (name, baseline reads/s from BASELINE.md, reps, paired, n_records, argv)
+# (name, baseline reads/s, reps, paired, n_records, argv)
+# Baselines: BASELINE.md (1-vCPU oracle, best of 3).  se_polygx: oracle
+# measured in THIS container (-w 4) on the generated representative input
+# (12.5k distinct polyG-tailed reads x 32).
 CONFIGS = [
     ("se_qualtrim", 16_700, 5, False, 400_000,
      ["-q", "-f", "3", "-t", "2"]),
-    ("se_polygx", None, 4, False, 400_000,
+    ("se_polygx", 128_000, 4, False, 400_000,
      ["-g", "-x"]),
     ("se_adapter", 21_000, 4, False, 400_000,
      ["-a", "--adapter_of_read1", "AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"]),
@@ -39,6 +61,13 @@ CONFIGS = [
      ["-q", "--kmer", "--kmer_length", "6", "-d", "-a", "--detect_pe_adapter"]),
 ]
 
+# device-only loop geometry: rows per kernel invocation and scan length
+DEVICE_ROWS = {"se_qualtrim": 65_536, "se_polygx": 65_536,
+               "se_adapter": 65_536, "pe_merge_corr": 16_384,
+               "pe_full": 16_384}
+DEVICE_ITERS = {"se_qualtrim": 32, "se_polygx": 32, "se_adapter": 32,
+                "pe_merge_corr": 8, "pe_full": 8}
+
 
 def replicate(src: str, dst: str, n: int) -> None:
     data = open(src, "rb").read()
@@ -47,23 +76,157 @@ def replicate(src: str, dst: str, n: int) -> None:
             out.write(data)  # concatenated gzip members form one valid stream
 
 
+def gen_polyg_input(dst: str, reps: int = 32) -> int:
+    """Representative polyG/polyX input: every r1.fq.gz read (12,500 distinct
+    sequences) truncated and given a varied-length polyG tail with occasional
+    single mismatches -- content diversity the original one-read-x-400k input
+    lacked.  Deterministic.  Returns the record count written."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260819)
+    records = []
+    with gzip.open(f"{TESTDATA}/r1.fq.gz", "rb") as f:
+        lines = f.read().split(b"\n")
+    n_rec = len(lines) // 4
+    for i in range(n_rec):
+        name, seq, strand, qual = lines[4 * i : 4 * i + 4]
+        tail = int(rng.integers(15, 41))
+        keep = max(len(seq) - tail, 30)
+        g = bytearray(b"G" * tail)
+        if rng.random() < 0.3:  # one mismatch, still within the 1-per-10 budget
+            g[int(rng.integers(0, tail))] = int(rng.choice(list(b"ACT")))
+        seq2 = seq[:keep] + bytes(g)
+        qual2 = qual[: len(seq2)].ljust(len(seq2), b"F")
+        records.append(b"\n".join((name, seq2, strand, qual2, b"")))
+    blob = b"".join(records)
+    with open(dst, "wb") as out:
+        for _ in range(reps):
+            out.write(blob)
+    return n_rec * reps
+
+
+def link_probe_mbps() -> float:
+    from fqtool_tpu.host.linkprobe import _probe_mbps
+    try:
+        return round(_probe_mbps(), 1)
+    except Exception:
+        return -1.0
+
+
+def _device_args(name: str, paired: bool, argv: list, workdir: str):
+    """(body, args, static_kw, rows) for the device-only loop, built the same
+    way the production runners build their kernel invocations."""
+    import numpy as np
+    from fqtool_tpu.config.cli import parse_args
+    from fqtool_tpu.host import evaluator
+    from fqtool_tpu.io.fastq import iter_packs, iter_packs_paired
+
+    rows = DEVICE_ROWS[name]
+    if paired:
+        opt = parse_args(["-i", f"{TESTDATA}/r1.fq.gz", "-I", f"{TESTDATA}/r2.fq.gz",
+                          "-o", "dev1.fq", "-O", "dev2.fq"] + argv)
+        evaluator.evaluate_read_len(opt)
+        if opt.adapter.enable_detect_for_pe:
+            evaluator.evaluate_adapter_seq(opt, False)
+            evaluator.evaluate_adapter_seq(opt, True)
+        from fqtool_tpu.pipeline.pe import pe_pipeline
+        from fqtool_tpu.pipeline.pe_runner import PairEndRunner
+
+        r = PairEndRunner(opt)
+        pack1, pack2 = next(iter_packs_paired(
+            f"{workdir}/pe1.fq.gz", f"{workdir}/pe2.fq.gz", False, rows,
+            opt.phred64))
+        zeros = np.zeros(rows, np.int32)
+        ones = np.ones(rows, bool)
+        args = (pack1.seq, pack1.qual, pack1.lens.astype(np.int32),
+                pack2.seq, pack2.qual, pack2.lens.astype(np.int32),
+                zeros, zeros, ones, ones)
+        kw = dict(p=r.p1, p2=r.p2, adapter_r1=r.adapter_r1,
+                  adapter_r2=r.adapter_r2, use_start0=False,
+                  with_kmer=bool(opt.kmer.enabled),
+                  discard_unmerged=bool(opt.merge_pe.discard_unmerged))
+        return pe_pipeline.__wrapped__, args, kw, rows
+    src = f"{workdir}/polyg.fq" if name == "se_polygx" else f"{workdir}/se.fq.gz"
+    opt = parse_args(["-i", f"{TESTDATA}/r1.fq.gz", "-o", "dev.fq"] + argv)
+    evaluator.evaluate_read_len(opt)
+    from fqtool_tpu.pipeline.runner import SingleEndRunner
+    from fqtool_tpu.pipeline.se import se_pipeline
+
+    r = SingleEndRunner(opt)
+    pack = next(iter_packs(src, rows, opt.phred64))
+    zeros = np.zeros(rows, np.int32)
+    ones = np.ones(rows, bool)
+    args = (pack.seq, pack.qual, pack.lens.astype(np.int32), zeros, ones, ones)
+    kw = dict(p=r.params, adapter_r1=r.adapter_r1, use_start0=False,
+              with_kmer=bool(opt.kmer.enabled))
+    return se_pipeline.__wrapped__, args, kw, rows
+
+
+def device_only_rate(name: str, paired: bool, argv: list, workdir: str) -> float:
+    """Chip-isolated reads/s: the pipeline kernel looped N times over
+    device-resident inputs.  Two-point measurement (N vs 2N iterations, same
+    compiled function, dynamic fori_loop bound) so the fixed per-call fetch /
+    dispatch latency of the attachment cancels exactly and only the marginal
+    per-iteration pipeline cost remains."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from fqtool_tpu.pipeline.blob import blobify
+
+    body, args, kw, rows = _device_args(name, paired, argv, workdir)
+
+    def run(a, n):
+        def step(i, c):
+            # roll the pack by the (dynamic) iteration index: a genuine data
+            # dependency per iteration, so XLA cannot hoist the pipeline out
+            # of the loop or CSE iterations (rows are independent reads, so
+            # the work stays representative; the roll itself is ~us of HBM
+            # traffic against ~ms of pipeline)
+            a2 = jax.tree_util.tree_map(
+                lambda x: jnp.roll(x, i, axis=0) if x.ndim >= 1 else x, a)
+            out = body(*a2, **kw)
+            return c + jnp.sum(blobify(out), dtype=jnp.int32)
+        return jax.lax.fori_loop(0, n, step, jnp.int32(0))
+
+    f = jax.jit(run)
+    dev = jax.device_put(args)
+    n1 = DEVICE_ITERS[name]
+    int(np.asarray(f(dev, n1)))  # compile + warm
+    walls = []
+    for n in (n1, 2 * n1):
+        best = float("inf")
+        for _ in range(2 if QUICK else 3):
+            t0 = time.perf_counter()
+            int(np.asarray(f(dev, n)))
+            best = min(best, time.perf_counter() - t0)
+        walls.append(best)
+    dt = max(walls[1] - walls[0], 1e-9)
+    reads = rows * n1 * (2 if paired else 1)
+    return round(reads / dt, 1)
+
+
 def main() -> None:
     workdir = tempfile.mkdtemp(prefix="fqtool_bench_")
-    # inputs: 400k SE reads, 100k PE pairs, 100k polyG reads
+    # inputs: 400k SE reads, 100k PE pairs, 400k distinct-content polyG reads
     replicate(f"{TESTDATA}/r1.fq.gz", f"{workdir}/se.fq.gz", 32)
     replicate(f"{TESTDATA}/r1.fq.gz", f"{workdir}/pe1.fq.gz", 8)
     replicate(f"{TESTDATA}/r2.fq.gz", f"{workdir}/pe2.fq.gz", 8)
-    replicate(f"{TESTDATA}/polygr1.fq", f"{workdir}/polyg.fq", 400_000)
+    n_polyg = gen_polyg_input(f"{workdir}/polyg.fq", reps=32)
 
     from fqtool_tpu.host import tracing
     from fqtool_tpu.main import main as fq_main
 
+    link_mbps = link_probe_mbps()
     results = {}
     stages = {}
+    device_only = {}
     cwd = os.getcwd()
     os.chdir(workdir)
     try:
         for name, baseline, reps, paired, n_records, argv in CONFIGS:
+            if QUICK:
+                reps = 1
             if paired:
                 small = ["-i", f"{TESTDATA}/r1.fq.gz", "-I", f"{TESTDATA}/r2.fq.gz",
                          "-o", "w1.fq.gz", "-O", "w2.fq.gz"]
@@ -72,6 +235,7 @@ def main() -> None:
             elif name == "se_polygx":
                 small = ["-i", f"{TESTDATA}/polygr1.fq", "-o", "w.fq.gz"]
                 big = ["-i", "polyg.fq", "-o", "o.fq.gz"]
+                n_records = n_polyg
             else:
                 small = ["-i", f"{TESTDATA}/r1.fq.gz", "-o", "w.fq.gz"]
                 big = ["-i", "se.fq.gz", "-o", "o.fq.gz"]
@@ -93,12 +257,36 @@ def main() -> None:
             results[name] = {
                 "reads_per_sec": round(reads / best, 1),
                 "wall_s": round(best, 3),
+                "vs_baseline": round(reads / best / baseline, 3),
             }
-            if baseline:
-                results[name]["vs_baseline"] = round(reads / best / baseline, 3)
+            sys.stderr.write(f"[bench] {name}: {results[name]['reads_per_sec']:.0f}"
+                             f" reads/s (x{results[name]['vs_baseline']:.2f})\n")
+            try:
+                device_only[name] = device_only_rate(name, paired, argv, workdir)
+                sys.stderr.write(f"[bench] {name}: device-only "
+                                 f"{device_only[name]:.0f} reads/s\n")
+            except Exception as e:  # the e2e numbers still stand alone
+                sys.stderr.write(f"[bench] {name}: device-only failed: {e}\n")
     finally:
         os.chdir(cwd)
         shutil.rmtree(workdir, ignore_errors=True)
+
+    details = {
+        "configs": results,
+        "stages": stages,
+        "device_only_reads_per_sec": device_only,
+        "link_mbps": link_mbps,
+    }
+    try:
+        with open(os.path.join(REPO, "bench_details.json"), "w") as f:
+            json.dump(details, f, indent=2)
+    except OSError:
+        pass
+
+    # stage dump NOW (stderr), so nothing can print after the metric line
+    atexit.unregister(tracing.dump)
+    tracing.dump()
+    sys.stderr.flush()
 
     head = results["se_qualtrim"]
     print(json.dumps({
@@ -106,9 +294,11 @@ def main() -> None:
         "value": head["reads_per_sec"],
         "unit": "reads/s",
         "vs_baseline": head["vs_baseline"],
-        "configs": results,
-        "stages": stages,
+        "configs": {k: v["reads_per_sec"] for k, v in results.items()},
+        "device_only": device_only,
+        "link_mbps": link_mbps,
     }))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -43,6 +43,10 @@ def _spool_stdin(opt: Options) -> Optional[str]:
     effectively broken there.  Spooling once makes every feature (split
     sizing, ORA, adapter detection, getBytes totals) work from a pipe.
     Gzip is sniffed from the magic bytes rather than the filename.
+
+    Only the literal path "/dev/stdin" is recognized (matching the
+    reference's literal check, main.cpp / fqreader.cpp); aliases like
+    /dev/fd/0 bypass the spool and will be drained by the pre-passes.
     """
     if opt.in1 != "/dev/stdin" and opt.in2 != "/dev/stdin":
         return None
@@ -52,6 +56,9 @@ def _spool_stdin(opt: Options) -> Optional[str]:
         # each rank has its own stdin; striping one stream across hosts
         # needs a shared file path
         raise OptionError("stdin input is not supported in multi-host runs")
+    if opt.in1 == "/dev/stdin" and opt.in2 == "/dev/stdin":
+        # one stream cannot carry two reads of a pair
+        raise OptionError("-i and -I cannot both read from /dev/stdin")
     import shutil
     import tempfile
 
@@ -59,9 +66,15 @@ def _spool_stdin(opt: Options) -> Optional[str]:
     head = src.read(2)
     suffix = ".fq.gz" if head == b"\x1f\x8b" else ".fq"
     tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
-    tmp.write(head)
-    shutil.copyfileobj(src, tmp, 1 << 20)
-    tmp.close()
+    try:
+        tmp.write(head)
+        shutil.copyfileobj(src, tmp, 1 << 20)
+        tmp.close()
+    except BaseException:
+        # ENOSPC / broken pipe mid-spool: don't leak the partial temp file
+        tmp.close()
+        os.unlink(tmp.name)
+        raise
     if opt.in1 == "/dev/stdin":
         opt.in1 = tmp.name
     if opt.in2 == "/dev/stdin":

@@ -220,10 +220,10 @@ def test_phred64_pe(oracle, tmp_path):
 
 
 class _StdinFromFile:
-    """Substitute sys.stdin whose .buffer reads a prepared file."""
+    """Substitute sys.stdin whose .buffer reads a caller-managed handle."""
 
-    def __init__(self, path):
-        self.buffer = open(path, "rb")
+    def __init__(self, fh):
+        self.buffer = fh
 
 
 def test_stdin_input_plain(oracle, tmp_path, monkeypatch):
@@ -243,11 +243,27 @@ def test_stdin_input_plain(oracle, tmp_path, monkeypatch):
     assert res.returncode == 0, res.stderr
 
     ours_dir = tmp_path / "ours"
-    monkeypatch.setattr(_sys, "stdin", _StdinFromFile(plain))
-    run_ours(["-i", "/dev/stdin", "-o", "out.fq", "-q"], ours_dir)
+    with open(plain, "rb") as fh:
+        monkeypatch.setattr(_sys, "stdin", _StdinFromFile(fh))
+        run_ours(["-i", "/dev/stdin", "-o", "out.fq", "-q"], ours_dir)
     d = diff_fastq(read_fastq(ours_dir / "out.fq"),
                    read_fastq(oracle_dir / "out.fq"))
     assert not d, "\n".join(d)
+
+
+def test_stdin_both_inputs_rejected(tmp_path, monkeypatch):
+    # one stream cannot carry both reads of a pair: -i and -I both
+    # /dev/stdin must fail cleanly (exit 255) without touching stdin
+    import io
+    import sys as _sys
+
+    from fqtool_tpu.main import main
+
+    monkeypatch.setattr(_sys, "stdin", _StdinFromFile(io.BytesIO(b"")))
+    monkeypatch.chdir(tmp_path)
+    rc = main(["-i", "/dev/stdin", "-I", "/dev/stdin",
+               "-o", "o1.fq", "-O", "o2.fq"])
+    assert rc == 255
 
 
 def test_stdin_input_gzip_sniffed(oracle, tmp_path, monkeypatch):
@@ -261,8 +277,9 @@ def test_stdin_input_gzip_sniffed(oracle, tmp_path, monkeypatch):
     assert res.returncode == 0, res.stderr
 
     ours_dir = tmp_path / "ours"
-    monkeypatch.setattr(_sys, "stdin", _StdinFromFile(R1))
-    run_ours(["-i", "/dev/stdin", "-o", "out.fq", "-q"], ours_dir)
+    with open(R1, "rb") as fh:
+        monkeypatch.setattr(_sys, "stdin", _StdinFromFile(fh))
+        run_ours(["-i", "/dev/stdin", "-o", "out.fq", "-q"], ours_dir)
     d = diff_fastq(read_fastq(ours_dir / "out.fq"),
                    read_fastq(oracle_dir / "out.fq"))
     assert not d, "\n".join(d)

@@ -21,9 +21,10 @@ def run_ours(argv, workdir: Path):
     workdir.mkdir(parents=True, exist_ok=True)
     os.chdir(workdir)
     try:
-        main(argv)
+        rc = main(argv)
     finally:
         os.chdir(cwd)
+    assert rc == 0, f"fqtool_tpu.main returned {rc} for {argv}"
 
 
 def check_config(oracle, tmp_path: Path, args, outputs=("out.fq.gz",)):

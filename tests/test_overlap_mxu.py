@@ -43,15 +43,16 @@ def test_mxu_matches_direct(L, dl, orq):
 
 
 @pytest.mark.parametrize("L", [40, 152])
-def test_pallas_matches_direct_interpret(L):
+def test_pallas2_matches_direct_interpret(L):
     """The fused Pallas kernel (interpret mode -- this environment's remote
-    compiler cannot build Mosaic kernels) against the production path."""
+    compiler cannot build Mosaic kernels) against the production path, on
+    the same masked/planted inputs the MXU cross-check uses."""
     from fqtool_tpu.ops import overlap as ovp
-    from fqtool_tpu.ops.pallas_overlap import analyze_pallas
+    from fqtool_tpu.ops.pallas_overlap2 import analyze_pallas2
 
     rng = np.random.default_rng(L)
     seq1, l1, seq2, l2 = _gen(48, L, rng)
-    a = analyze_pallas(seq1, l1, seq2, l2, 5, 30, interpret=True)
+    a = analyze_pallas2(seq1, l1, seq2, l2, 5, 30, interpret=True)
     d = ovp.analyze(seq1, l1, seq2, l2, 5, 30)
     for f in a._fields:
         np.testing.assert_array_equal(np.asarray(getattr(a, f)),
