@@ -242,6 +242,7 @@ def main() -> None:
             argv_w = [(a.replace("merged", "wmerged") if "merged" in a else a)
                       for a in argv]
             fq_main(small + argv_w)  # warm-up: compile cache
+            tracing.reset()  # stage dump reflects steady state, not compiles
             best = float("inf")
             for _ in range(reps):
                 snap = dict(tracing._totals)

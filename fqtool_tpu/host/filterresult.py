@@ -61,6 +61,28 @@ class FilterResultAccumulator:
         if adapter2:
             self.adapter2_count[adapter2.decode("latin-1")] += 1
 
+    def add_adapter_trimmed_bulk(self, counts, is_r2: bool) -> None:
+        """Bulk variant of :meth:`add_adapter_trimmed` for a chunk's worth of
+        trims: ``counts`` maps non-empty adapter bytes -> occurrences (see
+        host/accounting.py)."""
+        tgt = self.adapter2_count if is_r2 else self.adapter1_count
+        for a, c in counts.items():
+            self.trimmed_adapter_reads += c
+            self.trimmed_adapter_bases += len(a) * c
+            tgt[a.decode("latin-1")] += c
+
+    def add_adapter_trimmed_pairs_bulk(self, counts1, counts2, n_pairs: int,
+                                       total_bases: int) -> None:
+        """Bulk variant of :meth:`add_adapter_trimmed_pair`: every pair counts
+        2 reads regardless of adapter emptiness; ``counts1``/``counts2`` hold
+        only the non-empty adapters per side."""
+        self.trimmed_adapter_reads += 2 * n_pairs
+        self.trimmed_adapter_bases += total_bases
+        for a, c in counts1.items():
+            self.adapter1_count[a.decode("latin-1")] += c
+        for a, c in counts2.items():
+            self.adapter2_count[a.decode("latin-1")] += c
+
     def add_polyx_trimmed(self, base_idx: np.ndarray, length: np.ndarray,
                           mask: np.ndarray) -> None:
         """Vector add of per-read polyX/polyG trim events

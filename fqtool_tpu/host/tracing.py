@@ -44,6 +44,21 @@ def stage(name: str):
             _counts[name] += 1
 
 
+def reset() -> None:
+    """Zero the stage registry (bench.py resets after warm-up runs so the
+    dumped split reflects steady state, not JIT compilation)."""
+    with _lock:
+        _totals.clear()
+        _counts.clear()
+
+
+def snapshot() -> Dict[str, Dict[str, float]]:
+    """Current {stage: {seconds, calls}} view (bench_details.json)."""
+    with _lock:
+        return {k: {"seconds": round(v, 3), "calls": _counts[k]}
+                for k, v in _totals.items()}
+
+
 def dump() -> None:
     with _lock:  # background threads may still be recording at exit
         totals = dict(_totals)

@@ -29,7 +29,7 @@ from ..io.fastq import format_array_records, format_plane_array_records
 from .pe import pe_packed_call, pe_pipeline_call
 from .runner import (SplitWriter, _TAG_BUF, _TAG_LEN, _TAG_OFF, chunk_rows,
                      drain_pipelined, encode_packs, index_filter_matches,
-                     loginfo, maybe_enable_sharding, pad_rows)
+                     loginfo, maybe_enable_sharding)
 
 # extended tag catalog: the fail-reason names plus the PE mate-fail tag
 _XTAG_BUF = _TAG_BUF + b"paired_read_is_failing"
@@ -325,19 +325,12 @@ class PairEndRunner:
         while lo < B:
             hi = min(lo + rows, B)
             n = hi - lo
-            real = np.zeros(rows, bool)
-            real[:n] = True
             with stage("pe_dispatch"):
-                seq1 = pad_rows(pack1.seq[lo:hi], rows)
-                qual1 = pad_rows(pack1.qual[lo:hi], rows)
-                seq2 = pad_rows(pack2.seq[lo:hi], rows)
-                qual2 = pad_rows(pack2.qual[lo:hi], rows)
-                lens1 = pad_rows(pack1.lens[lo:hi], rows)
-                lens2 = pad_rows(pack2.lens[lo:hi], rows)
-                rest = (pad_rows(start1[lo:hi], rows),
-                        pad_rows(start2[lo:hi], rows),
-                        pad_rows(keep[lo:hi], rows),
-                        real)
+                # all chunk arrays ride in ONE input blob (one host->device
+                # message; pipeline/blob.py::call_blob zero-pads the rows,
+                # so the old pad_rows copies are gone too)
+                rest = (start1[lo:hi], start2[lo:hi], keep[lo:hi],
+                        np.ones(n, bool))
                 from .runner import _uniform_offset
                 kw = dict(p=self.p1, p2=self.p2,
                           adapter_r1=self.adapter_r1,
@@ -351,15 +344,17 @@ class PairEndRunner:
                           if opt.umi.enabled else -1)
                 # packed transport: encodings attached per pack by
                 # encode_packs in the prefetch thread (link-probe gated)
-                enc1 = (pad_rows(pack1.enc[lo:hi], rows)
-                        if pack1.enc is not None else None)
-                enc2 = (pad_rows(pack2.enc[lo:hi], rows)
-                        if enc1 is not None and pack2.enc is not None else None)
-                if enc2 is not None:
-                    call = pe_packed_call(enc1, lens1, enc2, lens2, *rest, **kw)
+                if pack1.enc is not None and pack2.enc is not None:
+                    call = pe_packed_call.call_blob(
+                        (pack1.enc[lo:hi], pack1.lens[lo:hi],
+                         pack2.enc[lo:hi], pack2.lens[lo:hi]) + rest,
+                        rows, **kw)
                 else:
-                    call = pe_pipeline_call(seq1, qual1, lens1, seq2, qual2,
-                                            lens2, *rest, **kw)
+                    call = pe_pipeline_call.call_blob(
+                        (pack1.seq[lo:hi], pack1.qual[lo:hi],
+                         pack1.lens[lo:hi], pack2.seq[lo:hi],
+                         pack2.qual[lo:hi], pack2.lens[lo:hi]) + rest,
+                        rows, **kw)
                 pending.append((lo, n, call))
             lo = hi
         return pack1, pack2, keep, start1, start2, pending
@@ -491,37 +486,42 @@ class PairEndRunner:
                     np.asarray(out[f"polyx_base{side}"])[:n],
                     np.asarray(out[f"polyx_trim_len{side}"])[:n], m)
 
-        # adapter events -----------------------------------------------
+        # adapter events (bulk np.unique counting, host/accounting.py) ---
+        from ..host.accounting import span_counts, suffix_counts
         if "ov_trimmed" in out:
             ovm = np.asarray(out["ov_trimmed"])[:n] & kchunk
-            lb1 = np.asarray(out["len1_before_ov_trim"])[:n]
-            lb2 = np.asarray(out["len2_before_ov_trim"])[:n]
-            la1 = np.asarray(out["len_after_adapter1"])[:n]
-            for i in np.flatnonzero(ovm):
-                ol = int(la1[i])  # both trimmed to overlap length
-                a1, _ = content1(i, base1[i] + ol, int(lb1[i]) - ol)
-                a2, _ = content2(i, base2[i] + ol, int(lb2[i]) - ol)
-                self.filter_result.add_adapter_trimmed_pair(a1, a2)
+            lb1 = np.asarray(out["len1_before_ov_trim"])[:n].astype(np.int64)
+            lb2 = np.asarray(out["len2_before_ov_trim"])[:n].astype(np.int64)
+            la1 = np.asarray(out["len_after_adapter1"])[:n].astype(np.int64)
+            rows = np.flatnonzero(ovm)
+            ol = la1[rows]  # both trimmed to overlap length
+            len_a1 = np.maximum(lb1[rows] - ol, 0)
+            len_a2 = np.maximum(lb2[rows] - ol, 0)
+            self.filter_result.add_adapter_trimmed_pairs_bulk(
+                span_counts(mat1s, rows, base1[rows] + ol, len_a1),
+                span_counts(mat2s, rows, base2[rows] + ol, len_a2),
+                len(rows), int(len_a1.sum() + len_a2.sum()))
         for side, adapter in ((1, self.adapter_r1), (2, self.adapter_r2)):
             k = f"adapter_found{side}"
             if k in out:
                 found = np.asarray(out[k])[:n] & kchunk
-                pos = np.asarray(out[f"adapter_pos{side}"])[:n]
+                pos = np.asarray(out[f"adapter_pos{side}"])[:n].astype(np.int64)
                 # length before by-sequence trim == length before overlap trim
                 # for non-ov-trimmed reads (the stage input length)
-                lb = np.asarray(out[f"len{side}_before_ov_trim"])[:n] \
-                    if f"len{side}_before_ov_trim" in out else \
-                    np.asarray(out[f"len_after_adapter{side}"])[:n]
-                content = content1 if side == 1 else content2
+                lb = (np.asarray(out[f"len{side}_before_ov_trim"])[:n]
+                      if f"len{side}_before_ov_trim" in out else
+                      np.asarray(out[f"len_after_adapter{side}"])[:n]
+                      ).astype(np.int64)
+                mat = mat1s if side == 1 else mat2s
                 basex = base1 if side == 1 else base2
-                alen = len(adapter)
-                for i in np.flatnonzero(found):
-                    p = int(pos[i])
-                    if p < 0:
-                        a = adapter[-p: alen]
-                    else:
-                        a, _ = content(i, basex[i] + p, int(lb[i]) - p)
-                    self.filter_result.add_adapter_trimmed(a, is_r2=(side == 2))
+                idx = np.flatnonzero(found)
+                p = pos[idx]
+                neg, posi = idx[p < 0], idx[p >= 0]
+                counts = suffix_counts(adapter, -pos[neg])
+                counts += span_counts(mat, posi, basex[posi] + pos[posi],
+                                      lb[posi] - pos[posi])
+                self.filter_result.add_adapter_trimmed_bulk(
+                    counts, is_r2=(side == 2))
 
         # ORA pre sampling: every sampling-th pair in stream order; only the
         # selected rows touch Python (peprocessor.cpp:272-274)

@@ -141,13 +141,6 @@ def _uniform_offset(start: np.ndarray) -> int:
     return v if bool((start == v).all()) else -1
 
 
-def pad_rows(a: np.ndarray, n: int) -> np.ndarray:
-    if a.shape[0] == n:
-        return a
-    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
-    return np.pad(a, pad)
-
-
 def loginfo(msg: str) -> None:
     sys.stderr.write(time.strftime("[%H:%M:%S] ") + msg + "\n")
 
@@ -470,14 +463,10 @@ class SingleEndRunner:
         while lo < B:
             hi = min(lo + rows, B)
             n = hi - lo
-            real = np.zeros(rows, bool)
-            real[:n] = True
-            seq = pad_rows(pack.seq[lo:hi], rows)
-            qual = pad_rows(pack.qual[lo:hi], rows)
-            rest = (pad_rows(pack.lens[lo:hi], rows),
-                    pad_rows(start0[lo:hi], rows),
-                    pad_rows(keep[lo:hi], rows),
-                    real)
+            # all chunk arrays ride in ONE input blob (one host->device
+            # message; pipeline/blob.py::call_blob zero-pads the rows)
+            rest = (pack.lens[lo:hi], start0[lo:hi], keep[lo:hi],
+                    np.ones(n, bool))
             kw = dict(p=self.params,
                       adapter_r1=self.adapter_r1,
                       use_start0=bool(opt.umi.enabled),
@@ -487,12 +476,12 @@ class SingleEndRunner:
             # packed transport: the encoding is attached to the pack by
             # encode_packs in the prefetch thread (link-probe gated); None
             # when packing is off or the content is unencodable
-            enc = (pad_rows(pack.enc[lo:hi], rows)
-                   if pack.enc is not None else None)
-            if enc is not None:
-                pending.append((n, se_packed_call(enc, *rest, **kw)))
+            if pack.enc is not None:
+                pending.append((n, se_packed_call.call_blob(
+                    (pack.enc[lo:hi],) + rest, rows, **kw)))
             else:
-                pending.append((n, se_pipeline_call(seq, qual, *rest, **kw)))
+                pending.append((n, se_pipeline_call.call_blob(
+                    (pack.seq[lo:hi], pack.qual[lo:hi]) + rest, rows, **kw)))
             lo = hi
         return pack, start0, keep, pending
 
@@ -560,20 +549,19 @@ class SingleEndRunner:
             self.filter_result.add_polyx_trimmed(
                 np.asarray(out["polyx_base"]), np.asarray(out["polyx_trim_len"]), m)
 
-        # adapter trim events ------------------------------------------
+        # adapter trim events (bulk np.unique counting, host/accounting.py)
         if "adapter_found" in out:
+            from ..host.accounting import span_counts, suffix_counts
             found = np.asarray(out["adapter_found"]) & keep
-            pos = np.asarray(out["adapter_pos"])
-            before = np.asarray(out["len_after_polyg"])
-            alen = len(self.adapter_r1)
-            for i in np.flatnonzero(found):
-                p = int(pos[i])
-                if p < 0:
-                    adapter = self.adapter_r1[-p: alen]
-                else:
-                    s = int(front[i])
-                    adapter = pack.seq[i, s + p : s + int(before[i])].tobytes()
-                self.filter_result.add_adapter_trimmed(adapter, is_r2=False)
+            pos = np.asarray(out["adapter_pos"]).astype(np.int64)
+            before = np.asarray(out["len_after_polyg"]).astype(np.int64)
+            idx = np.flatnonzero(found)
+            p = pos[idx]
+            neg, posi = idx[p < 0], idx[p >= 0]
+            counts = suffix_counts(self.adapter_r1, -pos[neg])
+            counts += span_counts(pack.seq, posi, front[posi] + pos[posi],
+                                  before[posi] - pos[posi])
+            self.filter_result.add_adapter_trimmed_bulk(counts, is_r2=False)
 
         # ORA sampling: every sampling-th read in stream order
         # (stats.cpp:246-248); only the selected rows touch Python
