@@ -14,7 +14,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .common import complement, positions, take_dyn
+from .common import complement, positions, shift_rows
 
 GOOD_QUAL = 30 + 33  # util::num2qual(30), basecorrector.cpp:27
 BAD_QUAL = 14 + 33   # util::num2qual(14), basecorrector.cpp:28
@@ -78,8 +78,16 @@ def correct_by_overlap(seq1, qual1, rlen1, seq2, qual2, rlen2, ov,
     # ---- corrections applied to read1 (positions q in [start1, start1+ol)) --
     q1pos = positions(L1)
     in_ov1 = (q1pos >= start1[:, None]) & (q1pos < (start1 + ov.overlap_len)[:, None])
-    mate_idx1 = jnp.clip(k[:, None] - q1pos, 0, L2 - 1)
-    mate_seq, mate_qual = take_dyn((seq2, qual2), mate_idx1)
+    # mate[q] = seq2[k - q] = seq2[::-1][(L2-1-k) + q]: static flip + per-row
+    # barrel shift on a max-width plane (valid indices never wrap); garbage
+    # at out-of-overlap positions is masked by fix1/fix2 below
+    Lm = max(L1, L2)
+
+    def _flip_pad(x, Lx):
+        return jnp.pad(x[:, ::-1], ((0, 0), (0, Lm - Lx)))
+
+    mate_seq, mate_qual = (p[:, :L1] for p in shift_rows(
+        (_flip_pad(seq2, L2), _flip_pad(qual2, L2)), (L2 - 1) - k))
     mism1 = seq1 != complement(mate_seq)
     fix1 = (active[:, None] & in_ov1 & mism1
             & (mate_qual >= GOOD_QUAL) & (qual1 <= BAD_QUAL))
@@ -89,8 +97,8 @@ def correct_by_overlap(seq1, qual1, rlen1, seq2, qual2, rlen2, ov,
     # ---- corrections applied to read2 (positions j with i = start2 - j) ----
     q2pos = positions(L2)
     in_ov2 = (q2pos <= start2[:, None]) & (q2pos > (start2 - ov.overlap_len)[:, None])
-    mate_idx2 = jnp.clip(k[:, None] - q2pos, 0, L1 - 1)
-    mate_seq2, mate_qual2 = take_dyn((seq1, qual1), mate_idx2)
+    mate_seq2, mate_qual2 = (p[:, :L2] for p in shift_rows(
+        (_flip_pad(seq1, L1), _flip_pad(qual1, L1)), (L1 - 1) - k))
     mism2 = mate_seq2 != complement(seq2)
     fix2 = (active[:, None] & in_ov2 & mism2
             & (mate_qual2 >= GOOD_QUAL) & (qual2 <= BAD_QUAL))

@@ -13,7 +13,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .common import complement, positions, take_dyn
+from .common import complement, positions, shift_rows
 from .overlap import OverlapResult
 
 
@@ -30,9 +30,8 @@ def merge_pairs(seq1, qual1, rlen1, seq2, qual2, rlen2, ov: OverlapResult) -> Me
     L2 = seq2.shape[1]
     LM = L1 + L2
 
-    # Two gathers total: revcomp(r2)[p] = complement(r2)[:, ::-1][p + L2-rlen2]
-    # (the static lane flip replaces the per-row reversal gather, so the
-    # per-row work collapses into one shifted index per plane)
+    # No gathers at all: revcomp(r2)[p] = complement(r2)[:, ::-1][p + L2-rlen2]
+    # (static lane flip), and the per-row index shift is a barrel rotate.
     rcr2 = complement(seq2)[:, ::-1]
     rqr2 = qual2[:, ::-1]
 
@@ -44,9 +43,12 @@ def merge_pairs(seq1, qual1, rlen1, seq2, qual2, rlen2, ov: OverlapResult) -> Me
     from_r1 = pos < len1[:, None]
     # merged[i] (i >= len1) = revcomp(r2)[ol + i - len1]
     #                       = rcr2[(L2 - rlen2) + ol + i - len1]
+    # For len1 <= i < mlen the shifted index stays in [0, L2) (no wrap);
+    # positions past mlen hold wrapped garbage, masked by rlen downstream.
     shift = (L2 - rlen2) + ov.overlap_len - len1
-    idx2 = jnp.clip(pos + shift[:, None], 0, L2 - 1)
-    part2_seq, part2_qual = take_dyn((rcr2, rqr2), idx2)
+    part2_seq, part2_qual = shift_rows(
+        (jnp.pad(rcr2, ((0, 0), (0, LM - L2))),
+         jnp.pad(rqr2, ((0, 0), (0, LM - L2)))), shift)
     seq1_p = jnp.pad(seq1, ((0, 0), (0, LM - L1)))
     qual1_p = jnp.pad(qual1, ((0, 0), (0, LM - L1)))
     mseq = jnp.where(from_r1, seq1_p, part2_seq)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .common import (A, C, G, N, T, complement, first_true, positions,
-                     take_dyn)
+                     shift_rows)
 
 COMPLETE_COMPARE_REQUIRE = 50  # overlapanalysis.cpp:14
 
@@ -44,23 +44,29 @@ class OverlapResult(NamedTuple):
 
 
 def reverse_complement(seq: jnp.ndarray, rlen: jnp.ndarray) -> jnp.ndarray:
-    """rc[b, i] = complement(seq[b, rlen-1-i]); padding positions hold the
-    complement of garbage and must be masked by i < rlen."""
+    """rc[b, i] = complement(seq[b, rlen-1-i]); positions at or past rlen
+    hold wrapped garbage and must be masked by i < rlen.  Static lane flip
+    plus a per-row barrel shift -- no gathers."""
     L = seq.shape[1]
-    idx = jnp.clip(rlen[:, None] - 1 - positions(L), 0, L - 1)
-    return complement(take_dyn(seq, idx))
+    return complement(shift_rows(seq[:, ::-1], L - rlen))
 
 
-def _phase_scan50(a50: jnp.ndarray, b50_shifted: jnp.ndarray, ol: jnp.ndarray,
-                  valid: jnp.ndarray, diff_limit: int):
+def _phase_scan50(head: jnp.ndarray, moving: jnp.ndarray, O: int,
+                  ol: jnp.ndarray, valid: jnp.ndarray, diff_limit: int):
     """Accept/select over the first COMPLETE_COMPARE_REQUIRE compared bases
-    (accept <=> d50 < diff_limit, see module docstring).  ``a50``: [B, 1, 50],
-    ``b50_shifted``: [B, O, 50], ``ol``/``valid``: [B, O]."""
-    W = b50_shifted.shape[2]
-    pos = positions(W)[None, :, :]  # [1, 1, W]
-    neq = a50 != b50_shifted
-    in_ol = pos < ol[:, :, None]
-    d50 = jnp.sum(neq & in_ol, axis=2).astype(jnp.int32)
+    (accept <=> d50 < diff_limit, see module docstring).
+
+    ``head``: [B, >=W]; ``moving``: [B, >=O+W] (already padded); compares
+    moving[b, o+i] vs head[b, i] for i < min(ol, W) at every offset o.
+    The W stacked [B, O] slices keep the offset axis on the 128-lane minor
+    dimension (O ~ L-require fills it well) and reduce over the stack --
+    ~20x faster on v5e than materializing [B, O, W] windows with W=50 minor
+    (3.5 vs 76 ms for a 16k x 152 chunk, measured)."""
+    W = COMPLETE_COMPARE_REQUIRE
+    sl = jnp.stack([moving[:, i : i + O] for i in range(W)], axis=1)  # [B,W,O]
+    neq = sl != head[:, :W, None]
+    in_ol = positions(W)[0][None, :, None] < ol[:, None, :]
+    d50 = jnp.sum(neq & in_ol, axis=1).astype(jnp.int32)
     hit = (d50 < diff_limit) & valid
     found = jnp.any(hit, axis=1)
     sel = first_true(hit, jnp.int32(0))
@@ -195,26 +201,20 @@ def analyze(seq1: jnp.ndarray, rlen1: jnp.ndarray,
     s1 = jnp.pad(seq1, ((0, 0), (0, L - L1)))
     zero = jnp.zeros((B,), jnp.int32)
 
-    # windows via STATIC slice stacking over a padded plane -- shifted reads
-    # at every offset with zero gathers (padding bytes are masked by in_ol)
-    def shifted_windows50(x, O):
-        xp = jnp.pad(x, ((0, 0), (0, O + W)))
-        return jnp.stack([xp[:, o : o + W] for o in range(O)], axis=1)
+    def padded(x, O):
+        return jnp.pad(x, ((0, 0), (0, O + W)))
 
     def head50(x):
-        if L < W:
-            x = jnp.pad(x, ((0, 0), (0, W - L)))
-        return x[:, None, :W]
+        return jnp.pad(x, ((0, 0), (0, W - L))) if L < W else x
 
     # ---- phase 1: offset o >= 0; compare s1[o+i] vs rs2[i] ----
     O1 = max(L1 - overlap_require, 0)
     if O1 > 0:
         o_ax = positions(O1)[0]
-        s1_sh = shifted_windows50(s1, O1)  # [B,O1,W]
         ol1 = jnp.minimum(rlen1[:, None] - o_ax[None, :], rlen2[:, None])
         valid1 = o_ax[None, :] < (rlen1[:, None] - overlap_require)
         found1, o1, ol_sel1 = _phase_scan50(
-            head50(rs2), s1_sh, ol1, valid1, diff_limit)
+            head50(rs2), padded(s1, O1), O1, ol1, valid1, diff_limit)
     else:
         found1, o1, ol_sel1 = jnp.zeros((B,), bool), zero, zero
 
@@ -222,11 +222,10 @@ def analyze(seq1: jnp.ndarray, rlen1: jnp.ndarray,
     O2 = max(L2 - overlap_require, 0)
     if O2 > 0:
         j_ax = positions(O2)[0]
-        rs2_sh = shifted_windows50(rs2, O2)  # [B,O2,W]
         ol2 = jnp.minimum(rlen1[:, None], rlen2[:, None] - j_ax[None, :])
         valid2 = j_ax[None, :] < (rlen2[:, None] - overlap_require)
         found2, j2, ol_sel2 = _phase_scan50(
-            head50(s1), rs2_sh, ol2, valid2, diff_limit)
+            head50(s1), padded(rs2, O2), O2, ol2, valid2, diff_limit)
     else:
         found2, j2, ol_sel2 = jnp.zeros((B,), bool), zero, zero
 
@@ -235,12 +234,11 @@ def analyze(seq1: jnp.ndarray, rlen1: jnp.ndarray,
     overlap_len = jnp.where(found1, ol_sel1, jnp.where(found2, ol_sel2, 0))
 
     # full diff at the selected offset only: compare s1[i+max(o,0)] vs
-    # rs2[i+max(-o,0)] for i < overlap_len (two [B, L] gathers)
+    # rs2[i+max(-o,0)] for i < overlap_len (two per-row barrel shifts; the
+    # compared span never wraps, and positions past it are masked)
     pos = positions(L)
-    sh1 = jnp.maximum(offset, 0)[:, None]
-    sh2 = jnp.maximum(-offset, 0)[:, None]
-    g1 = take_dyn(s1, jnp.clip(pos + sh1, 0, L - 1))
-    g2 = take_dyn(rs2, jnp.clip(pos + sh2, 0, L - 1))
+    g1 = shift_rows(s1, jnp.maximum(offset, 0))
+    g2 = shift_rows(rs2, jnp.maximum(-offset, 0))
     diff = jnp.sum((g1 != g2) & (pos < overlap_len[:, None]),
                    axis=1).astype(jnp.int32)
 

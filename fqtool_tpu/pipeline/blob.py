@@ -237,14 +237,19 @@ class BlobCall:
         return tuple(out)
 
     def call_blob(self, args, rows: int, **static_kwargs) -> BlobResult:
-        """One-transfer dispatch: the UNPADDED chunk arrays are written into
-        a single int32 blob at static offsets (row dim zero-padded to
-        ``rows``) and shipped as ONE host->device message — the remote
-        attachment pays ~100-200 ms latency per message, so this beats one
-        transfer per array by nearly their count.  Falls back to the
-        per-array path under a mesh (the blob's flat layout cannot be
-        row-sharded)."""
-        if self._mesh is not None:
+        """Dispatch a chunk given UNPADDED arrays (row dim zero-padded to
+        ``rows`` here, so runners never copy-pad).
+
+        Default transport is per-array: measured on the axon v5e attachment,
+        dispatch is already async (~3 ms) and ten device_puts cost the same
+        wire time as one fused blob (152 vs 171 ms for a 16k-pair chunk),
+        while the fused blob adds a device-side bitcast/copy — end-to-end it
+        LOST 32% on full-PE (BENCHMARKS.md round 3).  FQTOOL_TPU_INBLOB=1
+        enables the one-message input blob for attachments where per-message
+        latency dominates instead."""
+        import os
+        if self._mesh is not None or \
+                os.environ.get("FQTOOL_TPU_INBLOB", "0") != "1":
             padded = []
             for a in args:
                 if a.shape[0] != rows:

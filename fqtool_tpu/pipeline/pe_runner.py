@@ -326,9 +326,7 @@ class PairEndRunner:
             hi = min(lo + rows, B)
             n = hi - lo
             with stage("pe_dispatch"):
-                # all chunk arrays ride in ONE input blob (one host->device
-                # message; pipeline/blob.py::call_blob zero-pads the rows,
-                # so the old pad_rows copies are gone too)
+                # call_blob pads rows and picks the transport (blob.py)
                 rest = (start1[lo:hi], start2[lo:hi], keep[lo:hi],
                         np.ones(n, bool))
                 from .runner import _uniform_offset

@@ -463,8 +463,7 @@ class SingleEndRunner:
         while lo < B:
             hi = min(lo + rows, B)
             n = hi - lo
-            # all chunk arrays ride in ONE input blob (one host->device
-            # message; pipeline/blob.py::call_blob zero-pads the rows)
+            # call_blob pads rows and picks the transport (blob.py)
             rest = (pack.lens[lo:hi], start0[lo:hi], keep[lo:hi],
                     np.ones(n, bool))
             kw = dict(p=self.params,
