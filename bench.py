@@ -206,6 +206,84 @@ def device_only_rate(name: str, paired: bool, argv: list, workdir: str) -> float
     return round(reads / dt, 1)
 
 
+def multihost_scaling(workdir: str) -> dict:
+    """Localhost multi-host scaling (BASELINE.md north star: >=90% linear at
+    2 hosts): the SE quality-trim config over 400k reads, 1/2/4 processes,
+    each rank PINNED to one core with taskset so per-host resources stay
+    fixed as hosts are added (the honest single-box simulation of adding
+    hosts).  Outputs are asserted byte-identical to the 1-proc run; the
+    rank-0 merge is pure concatenation of rank-side-deflated spans
+    (dist/multihost.py).  Returns {procs: reads_per_sec, ...}."""
+    import socket
+    import subprocess
+
+    # 1.6M reads: big enough that the ~3-5s per-process startup (python +
+    # jax import + XLA cache load, constant in N) stays under 10% of the
+    # 2-proc wall -- the quantity BASELINE.md's north star describes is
+    # steady-state streaming, not process launch
+    replicate(f"{TESTDATA}/r1.fq.gz", f"{workdir}/mh.fq.gz", 128)
+    argv = ["-i", "mh.fq.gz", "-o", "out.fq.gz", "-q", "-f", "3", "-t", "2"]
+    n_reads = 1_600_000
+
+    def free_port():
+        with socket.socket() as s:
+            s.bind(("", 0))
+            return s.getsockname()[1]
+
+    def run_group(nprocs: int) -> float:
+        port = free_port()
+        procs = []
+        for rank in range(nprocs):
+            env = os.environ.copy()
+            env.update({
+                "JAX_PLATFORMS": "cpu",
+                "FQTOOL_TPU_PLATFORM": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+                "FQTOOL_TPU_NO_JAX_DIST": "1",
+                "FQTOOL_TPU_TRACE": "0",
+                "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
+            })
+            if nprocs > 1:
+                env.update({
+                    "FQTOOL_TPU_COORDINATOR": f"127.0.0.1:{port}",
+                    "FQTOOL_TPU_NPROCS": str(nprocs),
+                    "FQTOOL_TPU_PROC_ID": str(rank),
+                })
+            out = "out.fq.gz" if nprocs == 1 else f"out_mh{nprocs}.fq.gz"
+            cmd = ["taskset", "-c", str(rank), sys.executable,
+                   "-m", "fqtool_tpu.main"] + \
+                [a if a != "out.fq.gz" else out for a in argv]
+            procs.append(subprocess.Popen(cmd, cwd=workdir, env=env,
+                                          stdout=subprocess.DEVNULL,
+                                          stderr=subprocess.DEVNULL))
+        t0 = time.perf_counter()
+        rcs = [p.wait(timeout=900) for p in procs]
+        dt = time.perf_counter() - t0
+        if any(rcs):
+            raise RuntimeError(f"scaling run nprocs={nprocs} rcs={rcs}")
+        return dt
+
+    res = {}
+    base = None
+    warmed = False
+    for nprocs in (1, 2, 4):
+        if not warmed:
+            warmed = True
+            run_group(nprocs)      # warm-up: persistent-cache compiles
+        best = run_group(nprocs)
+        res[str(nprocs)] = round(n_reads / best, 1)
+        out = os.path.join(workdir,
+                           "out.fq.gz" if nprocs == 1 else f"out_mh{nprocs}.fq.gz")
+        if base is None:
+            base = open(out, "rb").read()
+        else:
+            assert open(out, "rb").read() == base, \
+                f"multihost {nprocs}-proc output differs from single-process"
+    res["efficiency_2"] = round(res["2"] / (2 * res["1"]), 3)
+    res["efficiency_4"] = round(res["4"] / (4 * res["1"]), 3)
+    return res
+
+
 def main() -> None:
     workdir = tempfile.mkdtemp(prefix="fqtool_bench_")
     # inputs: 400k SE reads, 100k PE pairs, 400k distinct-content polyG reads
@@ -268,6 +346,13 @@ def main() -> None:
                                  f"{device_only[name]:.0f} reads/s\n")
             except Exception as e:  # the e2e numbers still stand alone
                 sys.stderr.write(f"[bench] {name}: device-only failed: {e}\n")
+        scaling = {}
+        if not QUICK and os.environ.get("FQTOOL_TPU_BENCH_MH", "1") == "1":
+            try:
+                scaling = multihost_scaling(workdir)
+                sys.stderr.write(f"[bench] multihost scaling: {scaling}\n")
+            except Exception as e:
+                sys.stderr.write(f"[bench] multihost scaling failed: {e}\n")
     finally:
         os.chdir(cwd)
         shutil.rmtree(workdir, ignore_errors=True)
@@ -277,6 +362,7 @@ def main() -> None:
         "stages": stages,
         "device_only_reads_per_sec": device_only,
         "link_mbps": link_mbps,
+        "multihost_scaling": scaling,
     }
     try:
         with open(os.path.join(REPO, "bench_details.json"), "w") as f:
@@ -298,6 +384,7 @@ def main() -> None:
         "configs": {k: v["reads_per_sec"] for k, v in results.items()},
         "device_only": device_only,
         "link_mbps": link_mbps,
+        "multihost_scaling": scaling,
     }))
     sys.stdout.flush()
 

@@ -14,9 +14,12 @@ shards the *pack stream* across host processes:
   packs it does not own (``PackReader.next_pack(skip=True)``) -- no matrix
   builds, no device work.
 * Each output stream is written as one per-host part file of pack-ordered
-  raw records plus a (pack index, length) manifest.  Rank 0 concatenates all
-  hosts' parts in global pack order through a single compressed writer, so
-  the final bytes equal the single-process run exactly (replacing the
+  records plus a (pack index, ...) manifest.  For .gz outputs every rank
+  DEFLATES its own packs during the run with the exact block framing the
+  single-process OutputWriter uses (each pack write is a block boundary), so
+  rank 0 only concatenates compressed spans in global pack order and stamps
+  the member trailer with a combined CRC -- the final bytes equal the
+  single-process run exactly, with zero serial recompression (replacing the
   reference's mutex-serialized output ordering, seprocessor.cpp:356-380).
 * Stats / FilterResult / duplication / insert-size accumulators are reduced
   to rank 0 over a TCP allgather (the duplication combine is associative:
@@ -40,10 +43,53 @@ import sys
 import time
 from typing import Iterator, List, Optional, Tuple
 
+import zlib
+
 import numpy as np
 
-from ..io.fastq import (FastqIOError, OutputWriter, PackReader,
-                        _truncate_pack, iter_packs_paired, prefetch_iter)
+from ..io.fastq import (_DEFLATE_BLOCK, _GZIP_HEADER, FastqIOError,
+                        OutputWriter, PackReader, _deflate_block,
+                        _truncate_pack, iter_packs_paired, prefetch_iter,
+                        shared_pool)
+
+
+def _crc32_combine(crc1: int, crc2: int, len2: int) -> int:
+    """zlib's crc32_combine: CRC of the concatenation A++B from crc(A),
+    crc(B) and len(B), via GF(2) matrix exponentiation -- O(log len2)."""
+    if len2 == 0:
+        return crc1
+
+    def times(mat, vec):
+        s = 0
+        i = 0
+        while vec:
+            if vec & 1:
+                s ^= mat[i]
+            vec >>= 1
+            i += 1
+        return s
+
+    def square(mat):
+        return [times(mat, mat[n]) for n in range(32)]
+
+    # operator for one zero bit appended to A
+    odd = [0xEDB88320] + [1 << n for n in range(31)]
+    even = square(odd)
+    odd = square(even)
+    while True:
+        even = square(odd)
+        if len2 & 1:
+            crc1 = times(even, crc1)
+        len2 >>= 1
+        if len2 == 0:
+            break
+        odd = square(even)
+        if len2 & 1:
+            crc1 = times(odd, crc1)
+        len2 >>= 1
+        if len2 == 0:
+            break
+    return (crc1 ^ crc2) & 0xFFFFFFFF
 
 _ctx: Optional["MultihostContext"] = None
 _inited = False
@@ -238,31 +284,57 @@ class MultihostContext:
             it2.close()
 
     # -- output parts ----------------------------------------------------
-    def part_writer(self, final_path: str) -> "PartStreamWriter":
-        return PartStreamWriter(final_path, self.rank)
+    def part_writer(self, final_path: str,
+                    compression: int = 3) -> "PartStreamWriter":
+        return PartStreamWriter(final_path, self.rank, compression)
 
     def merge_stream(self, final_path: str, compression: int,
-                     indexes_by_rank: List[List[Tuple[int, int]]]) -> None:
-        """Rank 0: concatenate all hosts' part files in global pack order
-        through one compressed writer -- final bytes identical to the
-        single-process run."""
+                     indexes_by_rank: List[list]) -> None:
+        """Rank 0: concatenate all hosts' part files in global pack order --
+        final bytes identical to the single-process run.
+
+        For .gz streams the parts already hold each pack's deflate blocks in
+        the single-process framing (every pack write is a block boundary,
+        io/fastq.py::OutputWriter.write), so the merge is pure byte copying
+        plus one combined CRC -- the serial recompression tail the round-2
+        design had is gone.  Raw streams concatenate as before."""
+        gz = final_path.endswith(".gz")
         paths = [_part_path(final_path, r) for r in range(self.world)]
         entries = sorted(
-            (pidx, r, ln)
-            for r, idx in enumerate(indexes_by_rank) for pidx, ln in idx)
+            (pidx, r, entry)
+            for r, idx in enumerate(indexes_by_rank) for pidx, *entry in idx)
         handles: dict = {}
+
+        def handle(r):
+            h = handles.get(r)
+            if h is None:
+                if not os.path.exists(paths[r]):
+                    raise FastqIOError(
+                        f"multihost merge: missing part file {paths[r]} "
+                        "(all ranks must write to a shared filesystem)")
+                h = handles[r] = open(paths[r], "rb")
+            return h
+
         try:
-            with OutputWriter(final_path, compression) as w:
-                for _pidx, r, ln in entries:
-                    h = handles.get(r)
-                    if h is None:
-                        if not os.path.exists(paths[r]):
-                            raise FastqIOError(
-                                f"multihost merge: missing part file "
-                                f"{paths[r]} (all ranks must write to a "
-                                "shared filesystem)")
-                        h = handles[r] = open(paths[r], "rb")
-                    w.write(h.read(ln))
+            if gz:
+                crc = 0
+                size = 0
+                d = os.path.dirname(os.path.abspath(final_path))
+                os.makedirs(d, exist_ok=True)
+                with open(final_path, "wb", buffering=1 << 20) as out:
+                    out.write(_GZIP_HEADER)
+                    for _pidx, r, (comp_len, pcrc, raw_len) in entries:
+                        out.write(handle(r).read(comp_len))
+                        crc = _crc32_combine(crc, pcrc, raw_len)
+                        size += raw_len
+                    out.write(zlib.compressobj(
+                        compression, zlib.DEFLATED, -15).flush(zlib.Z_FINISH))
+                    out.write(struct.pack("<II", crc & 0xFFFFFFFF,
+                                          size & 0xFFFFFFFF))
+            else:
+                with OutputWriter(final_path, compression) as w:
+                    for _pidx, r, (ln,) in entries:
+                        w.write(handle(r).read(ln))
         finally:
             for h in handles.values():
                 h.close()
@@ -276,21 +348,47 @@ def _part_path(final_path: str, rank: int) -> str:
 
 
 class PartStreamWriter:
-    """Per-host part file for one output stream: pack-ordered raw records
-    plus a (pack index, length) manifest used by the rank-0 merge."""
+    """Per-host part file for one output stream, used by the rank-0 merge.
 
-    def __init__(self, final_path: str, rank: int):
+    .gz streams: each pack's records are deflated HERE, during the run, on
+    the shared pool, with the single-process block framing (BS-sized
+    Z_FULL_FLUSH blocks per pack write); the manifest carries
+    ``(pack, compressed_len, crc32, raw_len)`` so the merge is pure
+    concatenation.  Raw streams store records as-is with ``(pack, len)``."""
+
+    def __init__(self, final_path: str, rank: int, compression: int = 3):
         self.final_path = final_path
         self.part_path = _part_path(final_path, rank)
+        self.compress = final_path.endswith(".gz")
+        self.level = compression
         d = os.path.dirname(os.path.abspath(self.part_path))
         os.makedirs(d, exist_ok=True)
         self._fh = open(self.part_path, "wb", buffering=1 << 20)
-        self.index: List[Tuple[int, int]] = []
+        self.index: List[tuple] = []
+        self._pending: List[tuple] = []  # (pack_idx, crc, raw_len, [futures])
+
+    def _drain(self, block: bool) -> None:
+        while self._pending and (block or self._pending[0][3][-1].done()):
+            pidx, crc, raw_len, futs = self._pending.pop(0)
+            comp = b"".join(f.result() for f in futs)
+            self._fh.write(comp)
+            self.index.append((pidx, len(comp), crc, raw_len))
 
     def write(self, pack_idx: int, data: bytes) -> None:
-        if data:
+        if not data:
+            return
+        if not self.compress:
             self._fh.write(data)
             self.index.append((pack_idx, len(data)))
+            return
+        view = memoryview(data)
+        futs = [shared_pool().submit(_deflate_block,
+                                     bytes(view[lo:lo + _DEFLATE_BLOCK]),
+                                     self.level)
+                for lo in range(0, len(data), _DEFLATE_BLOCK)]
+        self._pending.append((pack_idx, zlib.crc32(data), len(data), futs))
+        self._drain(block=False)
 
     def close(self) -> None:
+        self._drain(block=True)
         self._fh.close()

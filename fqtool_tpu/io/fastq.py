@@ -587,8 +587,6 @@ class OutputWriter:
             self._level = compression
             self._crc = 0
             self._size = 0
-            self._buf: List[bytes] = []   # staged input, < _DEFLATE_BLOCK
-            self._buf_len = 0
             self._pending = deque()       # ordered block futures
             self._fh.write(_GZIP_HEADER)
 
@@ -604,33 +602,24 @@ class OutputWriter:
             self._fh.write(self._pending.popleft().result())
 
     def write(self, data: bytes) -> None:
+        """Append ``data``; in gzip mode every call is a deflate-block
+        boundary (callers write once per pack), so a pack's compressed bytes
+        depend only on the pack's own content -- the multi-host part writers
+        reproduce them independently per rank and rank 0 concatenates into a
+        stream byte-identical to the single-process run (dist/multihost.py)."""
         if not data:
             return
         if not self._gz:
             self._fh.write(data)
             return
-        if self._buf_len + len(data) < _DEFLATE_BLOCK:
-            self._buf.append(data)
-            self._buf_len += len(data)
-            return
-        staged = b"".join(self._buf) + data if self._buf else data
-        self._buf, self._buf_len = [], 0
-        view = memoryview(staged)
-        lo = 0
-        while len(staged) - lo >= _DEFLATE_BLOCK:
+        view = memoryview(data)
+        for lo in range(0, len(data), _DEFLATE_BLOCK):
             self._submit(bytes(view[lo:lo + _DEFLATE_BLOCK]))
-            lo += _DEFLATE_BLOCK
-        if lo < len(staged):
-            tail = bytes(view[lo:])
-            self._buf, self._buf_len = [tail], len(tail)
 
     def close(self) -> None:
         if self._fh is None:
             return
         if self._gz:
-            if self._buf:
-                self._submit(b"".join(self._buf))
-                self._buf, self._buf_len = [], 0
             while self._pending:
                 self._fh.write(self._pending.popleft().result())
             # final empty Z_FINISH block terminates the member

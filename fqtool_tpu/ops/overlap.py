@@ -58,15 +58,27 @@ def _phase_scan50(head: jnp.ndarray, moving: jnp.ndarray, O: int,
 
     ``head``: [B, >=W]; ``moving``: [B, >=O+W] (already padded); compares
     moving[b, o+i] vs head[b, i] for i < min(ol, W) at every offset o.
-    The W stacked [B, O] slices keep the offset axis on the 128-lane minor
-    dimension (O ~ L-require fills it well) and reduce over the stack --
-    ~20x faster on v5e than materializing [B, O, W] windows with W=50 minor
-    (3.5 vs 76 ms for a 16k x 152 chunk, measured)."""
+
+    Two equivalent lowerings, both keeping the offset axis on the 128-lane
+    minor dimension (~20x faster on v5e than the [B, O, W] window stack with
+    W=50 minor this replaced -- 3.5 vs 76 ms for a 16k x 152 chunk):
+      * short reads: W stacked [B, O] slices, one reduction over the stack;
+      * long reads (stack past ~1 GiB): W unrolled adds into one [B, O]
+        accumulator -- O(B*O) memory, so chunks never shrink with width
+        (~10% slower than the stack at 152 bp, measured)."""
     W = COMPLETE_COMPARE_REQUIRE
-    sl = jnp.stack([moving[:, i : i + O] for i in range(W)], axis=1)  # [B,W,O]
-    neq = sl != head[:, :W, None]
-    in_ol = positions(W)[0][None, :, None] < ol[:, None, :]
-    d50 = jnp.sum(neq & in_ol, axis=1).astype(jnp.int32)
+    B = head.shape[0]
+    if B * O * W * 3 <= (1 << 30):
+        sl = jnp.stack([moving[:, i : i + O] for i in range(W)],
+                       axis=1)  # [B, W, O]
+        neq = sl != head[:, :W, None]
+        in_ol = positions(W)[0][None, :, None] < ol[:, None, :]
+        d50 = jnp.sum(neq & in_ol, axis=1).astype(jnp.int32)
+    else:
+        d50 = jnp.zeros(ol.shape, jnp.int32)
+        for i in range(W):
+            neq = moving[:, i : i + O] != head[:, i][:, None]
+            d50 = d50 + jnp.where(neq & (i < ol), 1, 0)
     hit = (d50 < diff_limit) & valid
     found = jnp.any(hit, axis=1)
     sel = first_true(hit, jnp.int32(0))

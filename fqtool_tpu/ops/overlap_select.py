@@ -3,16 +3,16 @@
 Three bit-identical implementations exist (cross-validated in
 tests/test_overlap_mxu.py and tests/test_pallas2.py):
 
-  * ``overlap.analyze`` -- jnp masked compare over static shifted windows.
-    The default: XLA fuses the [B, offsets, L] compare into the reduction,
-    and on v5e it matches the fused Pallas kernel's throughput.
+  * ``overlap.analyze`` -- jnp accept scan with the offset axis on the
+    128-lane minor dimension and an O(B*offsets) long-read lowering
+    (ops/overlap.py::_phase_scan50).  The default: ~20x faster on v5e than
+    the round-2 window stack, and chunks no longer shrink with read width.
   * ``pallas_overlap2.analyze_pallas2`` -- fused Mosaic kernel restricted to
     the constructs that compile on current libtpu builds (int32 compares,
     static slices, no bool loop carries).  Keeps only one [TILE, 2L] plane
-    in VMEM, so it avoids the [B, offsets, L] working set entirely -- the
-    win case is long reads (width >= ~500) where the jnp path's chunk size
-    must shrink (pipeline/pe_runner.py cap).  Costs a long one-time compile
-    (the offset scan is fully unrolled); opt in with FQTOOL_TPU_PALLAS=1.
+    in VMEM.  Superseded as a deployment path by the jnp rewrite (which it
+    no longer beats anywhere measured) but kept as the cross-validated
+    Mosaic reference; opt in with FQTOOL_TPU_PALLAS=1.
   * ``overlap.analyze_mxu`` -- grouped-conv formulation kept as a reference
     for backends with fast batched correlation.
 

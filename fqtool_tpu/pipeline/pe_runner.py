@@ -241,7 +241,7 @@ class PairEndRunner:
                    ("merged", opt.merge_pe.out
                     if opt.merge_pe.enabled and opt.merge_pe.out else None),
                    ("failed", opt.failed_out)]
-        writers = {name: mh.part_writer(path)
+        writers = {name: mh.part_writer(path, opt.compression)
                    for name, path in streams if path}
         pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_PE_PACK_CHUNKS", "2")))
         pack_reads = min(opt.buf_size.max_reads_in_pack, PE_CHUNK * pack_chunks)
@@ -304,18 +304,15 @@ class PairEndRunner:
         start1, start2 = process_umi(opt, pack1, pack2)
 
         if not self._rows:
-            # the jnp overlap analysis accept scan works over
-            # [rows, offsets, 50] intermediates (~50*L bytes per row plus
-            # bool temporaries); cap the chunk so very-long-read packs stay
-            # within a ~2 GiB working set.  The fused Pallas kernel
-            # (FQTOOL_TPU_PALLAS=1) holds one tile in VMEM instead, so
-            # full-size chunks stand for any read width.
-            from ..ops import overlap_select
+            # the overlap accept scan's long-read lowering accumulates into
+            # [rows, offsets] planes (ops/overlap.py::_phase_scan50), so the
+            # working set is ~24 bytes * rows * width -- full-size chunks
+            # stand up to multi-kilobase reads; only extreme widths halve
+            # the chunk to stay within ~2 GiB
             width = max(pack1.width, pack2.width)
             cap = PE_CHUNK
-            if not (overlap_select.use_pallas() and overlap_select.probe_pallas()):
-                while cap > 256 and cap * width * 200 > (1 << 31):
-                    cap //= 2
+            while cap > 256 and cap * width * 24 > (1 << 31):
+                cap //= 2
             self._rows = chunk_rows(B, cap)
         rows = self._rows
         # dispatch every chunk asynchronously, then fold in order: the device

@@ -370,9 +370,9 @@ class SingleEndRunner:
         maybe_enable_sharding(se_pipeline_call, se_packed_call)
         writers = {}
         if opt.out1:
-            writers["out1"] = mh.part_writer(opt.out1)
+            writers["out1"] = mh.part_writer(opt.out1, opt.compression)
         if opt.failed_out:
-            writers["failed"] = mh.part_writer(opt.failed_out)
+            writers["failed"] = mh.part_writer(opt.failed_out, opt.compression)
         pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_SE_PACK_CHUNKS", "2")))
         pack_reads = SE_CHUNK * pack_chunks
         for gidx, pack in prefetch_iter(encode_packs(
