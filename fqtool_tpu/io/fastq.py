@@ -544,7 +544,20 @@ def _truncate_pack(p: ReadPack, n: int) -> ReadPack:
 # boundaries => deterministic output.
 _DEFLATE_BLOCK = 1 << 20
 _shared_pool = None
+_shared_pool_size = None
 _shared_pool_lock = threading.Lock()
+
+
+def set_worker_threads(n: int) -> None:
+    """Size the shared host pool from ``-w`` (reference: N worker pthreads,
+    src/seprocessor.cpp:160-180; here the host work that scales with workers
+    is the GIL-releasing pool -- parallel deflate, record formatting, pack
+    encoding).  Must run before the first shared_pool() call; later calls
+    are ignored (the pool is process-wide)."""
+    global _shared_pool_size
+    with _shared_pool_lock:
+        if _shared_pool is None:
+            _shared_pool_size = max(2, min(32, int(n)))
 
 
 def shared_pool():
@@ -554,7 +567,7 @@ def shared_pool():
         with _shared_pool_lock:
             if _shared_pool is None:
                 from concurrent.futures import ThreadPoolExecutor
-                n = max(2, min(6, os.cpu_count() or 1))
+                n = _shared_pool_size or max(2, min(6, os.cpu_count() or 1))
                 _shared_pool = ThreadPoolExecutor(
                     max_workers=n, thread_name_prefix="fq_pool")
     return _shared_pool

@@ -83,6 +83,11 @@ def _spool_stdin(opt: Options) -> Optional[str]:
 
 
 def run(opt: Options) -> None:
+    # -w sizes the shared host pool (deflate/format/encode); must precede
+    # any pool use (reference worker threads: seprocessor.cpp:160-180)
+    from .io.fastq import set_worker_threads
+    set_worker_threads(opt.thread)
+
     # multi-host process group, if configured: jax.distributed.initialize
     # must run before any backend use, so this precedes the pre-passes
     from .dist import multihost

@@ -285,6 +285,30 @@ def test_stdin_input_gzip_sniffed(oracle, tmp_path, monkeypatch):
     assert not d, "\n".join(d)
 
 
+def test_worker_threads_output_invariant(tmp_path):
+    # -w sizes the shared host pool (deflate/format/encode,
+    # io/fastq.py::set_worker_threads); output bytes must not depend on it.
+    # Subprocesses because the pool is process-wide and sized once.
+    import os
+    import subprocess
+    import sys as _sys
+
+    root = str(Path(__file__).resolve().parents[1])
+    outs = []
+    for w in ("1", "6"):
+        d = tmp_path / f"w{w}"
+        d.mkdir()
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=root + os.pathsep + os.environ.get("PYTHONPATH", ""))
+        r = subprocess.run(
+            [_sys.executable, "-m", "fqtool_tpu.main", "-i", str(R1),
+             "-o", "out.fq.gz", "-q", "-w", w, "-z", "6"],
+            cwd=d, env=env, capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        outs.append((d / "out.fq.gz").read_bytes())
+    assert outs[0] == outs[1], "-w changed output bytes"
+
+
 def test_buffer_and_dead_flags_output_invariant(oracle, tmp_path):
     # --max_packs_in_repo/--max_packs_in_mem tune ring sizes in the
     # reference (options.h:15-24) and never change output; -W/-M parse but
