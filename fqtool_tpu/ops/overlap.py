@@ -35,6 +35,10 @@ from .common import (A, C, G, N, T, complement, first_true, positions,
 
 COMPLETE_COMPARE_REQUIRE = 50  # overlapanalysis.cpp:14
 
+# accept-scan lowering gate: below this many bytes of stacked slices, use
+# the W-slice stack; above it, the O(B*offsets) unrolled accumulator
+_STACK_LIMIT = 1 << 30
+
 
 class OverlapResult(NamedTuple):
     overlapped: jnp.ndarray   # bool [B]
@@ -68,7 +72,7 @@ def _phase_scan50(head: jnp.ndarray, moving: jnp.ndarray, O: int,
         (~10% slower than the stack at 152 bp, measured)."""
     W = COMPLETE_COMPARE_REQUIRE
     B = head.shape[0]
-    if B * O * W * 3 <= (1 << 30):
+    if B * O * W * 3 <= _STACK_LIMIT:
         sl = jnp.stack([moving[:, i : i + O] for i in range(W)],
                        axis=1)  # [B, W, O]
         neq = sl != head[:, :W, None]

@@ -15,6 +15,10 @@ import jax.numpy as jnp
 
 from .common import Q20_CHAR, Q30_CHAR, seq2int_codes, valid_mask
 
+# kmer-histogram lowering gate: one-hot planes past ~1.5 GiB fall back to
+# the scatter-add (very large k on very large chunks)
+_KMER_ONEHOT_LIMIT = 3 << 29
+
 
 class BatchStats(NamedTuple):
     cycle_q20: jnp.ndarray       # int32 [8, L]
@@ -117,7 +121,7 @@ def kmer_counts(seq: jnp.ndarray, rlen: jnp.ndarray, kmer_len: int,
     if select is not None:
         ok = ok & select[:, None]
 
-    if (4 ** k1 + 4 ** k2) * B * nwin * 2 > (3 << 29):  # ~1.5 GiB of one-hots
+    if (4 ** k1 + 4 ** k2) * B * nwin * 2 > _KMER_ONEHOT_LIMIT:
         hist = jnp.zeros((4 ** k,), jnp.int32)
         keys = hi * (4 ** k2) + lo
         return hist.at[keys.reshape(-1)].add(ok.reshape(-1).astype(jnp.int32))
