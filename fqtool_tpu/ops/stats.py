@@ -121,17 +121,31 @@ def kmer_counts(seq: jnp.ndarray, rlen: jnp.ndarray, kmer_len: int,
     if select is not None:
         ok = ok & select[:, None]
 
-    if (4 ** k1 + 4 ** k2) * B * nwin * 2 > _KMER_ONEHOT_LIMIT:
+    bytes_per_row = (4 ** k1 + 4 ** k2) * nwin * 2
+    rows_per = max(1, _KMER_ONEHOT_LIMIT // max(bytes_per_row, 1))
+    if rows_per < 64 or 4 ** k > (1 << 20):
+        # enormous k: the one-hot planes would thrash even chunked (and the
+        # reference's 4^k table is equally degenerate there) -- scatter-add
         hist = jnp.zeros((4 ** k,), jnp.int32)
         keys = hi * (4 ** k2) + lo
         return hist.at[keys.reshape(-1)].add(ok.reshape(-1).astype(jnp.int32))
 
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 4 ** k1), 2)
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 4 ** k2), 2)
-    oh_hi = ((hi[:, :, None] == iota_hi) & ok[:, :, None]).astype(jnp.bfloat16)
-    oh_lo = (lo[:, :, None] == iota_lo).astype(jnp.bfloat16)
-    h = jax.lax.dot_general(
-        oh_hi.reshape(-1, 4 ** k1), oh_lo.reshape(-1, 4 ** k2),
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    def block(hi_b, lo_b, ok_b):
+        oh_hi = ((hi_b[:, :, None] == iota_hi)
+                 & ok_b[:, :, None]).astype(jnp.bfloat16)
+        oh_lo = (lo_b[:, :, None] == iota_lo).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            oh_hi.reshape(-1, 4 ** k1), oh_lo.reshape(-1, 4 ** k2),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    # chunk the batch so the one-hot planes stay within the limit (large k)
+    h = None
+    for b0 in range(0, B, rows_per):
+        hb = block(hi[b0 : b0 + rows_per], lo[b0 : b0 + rows_per],
+                   ok[b0 : b0 + rows_per])
+        h = hb if h is None else h + hb
     # key = hi * 4^k2 + lo is exactly the row-major flattening of [hi, lo]
     return h.reshape(-1).astype(jnp.int32)

@@ -70,6 +70,28 @@ def test_overlap_scan_lowerings_agree(monkeypatch):
                                       err_msg=name)
 
 
+def test_kmer_chunked_mxu_matches_single_block(monkeypatch):
+    """Large-k path: the batch-chunked outer-product accumulation must equal
+    the single-block result (gate tuned so the 96-row batch splits)."""
+    import jax
+
+    from fqtool_tpu.ops import stats
+
+    k = 8
+    rng = np.random.default_rng(11)
+    B, L = 96, 64
+    seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), (B, L)).astype(np.uint8)
+    rlen = rng.integers(k, L + 1, B).astype(np.int32)
+    one = np.asarray(jax.jit(
+        lambda s, r: stats.kmer_counts(s, r, k))(seq, rlen))
+    nwin = L - k + 1
+    per_row = (4 ** 4 + 4 ** 4) * nwin * 2
+    monkeypatch.setattr(stats, "_KMER_ONEHOT_LIMIT", 64 * per_row)
+    chunked = np.asarray(jax.jit(
+        lambda s, r: stats.kmer_counts(s, r, k))(seq, rlen))
+    np.testing.assert_array_equal(one, chunked)
+
+
 @pytest.mark.parametrize("k", [3, 6])
 def test_kmer_mxu_matches_scatter(k, monkeypatch):
     import jax
