@@ -250,8 +250,9 @@ def multihost_scaling(workdir: str) -> dict:
                     "FQTOOL_TPU_PROC_ID": str(rank),
                 })
             out = "out.fq.gz" if nprocs == 1 else f"out_mh{nprocs}.fq.gz"
-            cmd = ["taskset", "-c", str(rank), sys.executable,
-                   "-m", "fqtool_tpu.main"] + \
+            pin = (["taskset", "-c", str(rank % (os.cpu_count() or 1))]
+                   if shutil.which("taskset") else [])
+            cmd = pin + [sys.executable, "-m", "fqtool_tpu.main"] + \
                 [a if a != "out.fq.gz" else out for a in argv]
             procs.append(subprocess.Popen(cmd, cwd=workdir, env=env,
                                           stdout=subprocess.DEVNULL,

@@ -110,18 +110,20 @@ def unblobify(blob: np.ndarray, treedef, spec, section_lens):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def _build_input_spec(rows: int, args) -> Tuple[Tuple, Tuple[int, int]]:
+def _build_input_spec(rows: int, args, n_aux: int = 0) -> Tuple[Tuple, Tuple[int, int]]:
     """Input twin of :func:`_build_spec`: per-arg (group, offset, padded
     shape, dtype-name) entries plus section lengths, from the UNPADDED
-    argument arrays (row dim padded to ``rows``).
+    argument arrays (row dim padded to ``rows``; the trailing ``n_aux``
+    args keep their own shape -- pack-level side data like dictionaries).
 
     Only the dtypes the pipelines take cross the wire: uint8 matrices
     (seq/qual/enc), int32 vectors (lens/starts), bool vectors (keep/real).
     """
     spec = []
     off_i32 = off_u8 = 0
-    for a in args:
-        shape = (rows,) + tuple(a.shape[1:])
+    n_row = len(args) - n_aux
+    for i, a in enumerate(args):
+        shape = ((rows,) + tuple(a.shape[1:])) if i < n_row else tuple(a.shape)
         size = int(np.prod(shape))
         if a.dtype == np.uint8 or a.dtype == np.bool_:
             spec.append(("u8", off_u8, shape, a.dtype.name))
@@ -236,7 +238,7 @@ class BlobCall:
                 out.append(a)
         return tuple(out)
 
-    def call_blob(self, args, rows: int, **static_kwargs) -> BlobResult:
+    def call_blob(self, args, rows: int, aux=(), **static_kwargs) -> BlobResult:
         """Dispatch a chunk given UNPADDED arrays (row dim zero-padded to
         ``rows`` here, so runners never copy-pad).
 
@@ -248,6 +250,7 @@ class BlobCall:
         enables the one-message input blob for attachments where per-message
         latency dominates instead."""
         import os
+        aux = tuple(aux)
         if self._mesh is not None or \
                 os.environ.get("FQTOOL_TPU_INBLOB", "0") != "1":
             padded = []
@@ -256,22 +259,23 @@ class BlobCall:
                     pad = [(0, rows - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
                     a = np.pad(a, pad)
                 padded.append(a)
-            return self(*padded, **static_kwargs)
+            return self(*padded, *aux, **static_kwargs)
+        allargs = tuple(args) + aux
         key = (rows, tuple(sorted(static_kwargs.items())),
-               tuple((tuple(a.shape[1:]), str(a.dtype)) for a in args))
+               tuple((tuple(a.shape), str(a.dtype)) for a in allargs))
         entry = self._in_specs.get(key)
         if entry is None:
-            in_spec, in_sections = _build_input_spec(rows, args)
+            in_spec, in_sections = _build_input_spec(rows, allargs,
+                                                     n_aux=len(aux))
             shaped_args = [jax.ShapeDtypeStruct(
-                (rows,) + tuple(a.shape[1:]),
-                np.int32 if a.dtype == np.int64 else a.dtype)
-                for a in args]
+                shape, np.int32 if dtype == "int64" else np.dtype(dtype))
+                for _g, _o, shape, dtype in in_spec]
             shaped = jax.eval_shape(
                 functools.partial(self._body, **static_kwargs), *shaped_args)
             entry = (in_spec, in_sections) + _build_spec(shaped)
             self._in_specs[key] = entry
         in_spec, in_sections, treedef, spec, sections = entry
-        blob = pack_input_blob(args, in_spec, in_sections)
+        blob = pack_input_blob(allargs, in_spec, in_sections)
         out = self._jit_in(blob, in_spec=in_spec, in_sections=in_sections,
                            **static_kwargs)
         return BlobResult(out, treedef, spec, sections)

@@ -282,3 +282,19 @@ def _pe_pipeline_packed(enc1, lens1, enc2, lens2, start1, start2, keep, real,
 
 
 pe_packed_call = BlobCall(_pe_pipeline_packed, se_static)
+
+
+def _pe_pipeline_packed5(enc5_1, lens1, enc5_2, lens2, start1, start2, keep,
+                         real, dict32_1, dict32_2, *, enc_width1, enc_width2,
+                         **kw):
+    """5-bit dictionary transport variant (ops/packed.py::encode5_host)."""
+    from ..ops.packed import decode5_device
+
+    seq1, qual1 = decode5_device(enc5_1, dict32_1, enc_width1)
+    seq2, qual2 = decode5_device(enc5_2, dict32_2, enc_width2)
+    return pe_pipeline.__wrapped__(seq1, qual1, lens1, seq2, qual2, lens2,
+                                   start1, start2, keep, real, **kw)
+
+
+pe_packed5_call = BlobCall(_pe_pipeline_packed5,
+                           se_static + ("enc_width1", "enc_width2"))

@@ -26,7 +26,7 @@ from ..io.fastq import (AsyncWriter, ReadPack,
                         iter_packs_paired, prefetch_iter)
 from ..ops.filters import PASS_FILTER
 from ..io.fastq import format_array_records, format_plane_array_records
-from .pe import pe_packed_call, pe_pipeline_call
+from .pe import pe_packed5_call, pe_packed_call, pe_pipeline_call
 from .runner import (SplitWriter, _TAG_BUF, _TAG_LEN, _TAG_OFF, chunk_rows,
                      drain_pipelined, encode_packs, index_filter_matches,
                      loginfo, maybe_enable_sharding)
@@ -142,7 +142,8 @@ class PairEndRunner:
         if mh is not None:
             self._run_mh(mh)
             return
-        maybe_enable_sharding(pe_pipeline_call, pe_packed_call)
+        maybe_enable_sharding(pe_pipeline_call, pe_packed_call,
+                              pe_packed5_call)
         split = SplitWriter(opt, paired=True) if opt.split.enabled else None
         w_out1 = (AsyncWriter(opt.out1, opt.compression)
                   if opt.out1 and not opt.split.enabled else None)
@@ -232,7 +233,8 @@ class PairEndRunner:
         from ..config.options import OptionError
         if opt.split.enabled:
             raise OptionError("split output is not supported in multi-host runs")
-        maybe_enable_sharding(pe_pipeline_call, pe_packed_call)
+        maybe_enable_sharding(pe_pipeline_call, pe_packed_call,
+                              pe_packed5_call)
         streams = [("out1", opt.out1 if opt.out1 and opt.out2 else None),
                    ("out2", opt.out2 if opt.out1 and opt.out2 else None),
                    ("unpaired1", opt.unpaired1),
@@ -338,11 +340,23 @@ class PairEndRunner:
                           start2_static=_uniform_offset(start2[lo:hi])
                           if opt.umi.enabled else -1)
                 # packed transport: encodings attached per pack by
-                # encode_packs in the prefetch thread (link-probe gated)
-                if pack1.enc is not None and pack2.enc is not None:
+                # encode_packs in the prefetch thread (link-probe gated);
+                # mode tuples ("b5", packed, dict) / ("b8", enc), see
+                # runner.encode_packs
+                e1, e2 = pack1.enc, pack2.enc
+                if e1 is not None and e2 is not None and \
+                        e1[0] == "b5" and e2[0] == "b5":
+                    call = pe_packed5_call.call_blob(
+                        (e1[1][lo:hi], pack1.lens[lo:hi],
+                         e2[1][lo:hi], pack2.lens[lo:hi]) + rest,
+                        rows, aux=(e1[2], e2[2]),
+                        enc_width1=pack1.seq.shape[1],
+                        enc_width2=pack2.seq.shape[1], **kw)
+                elif e1 is not None and e2 is not None and \
+                        e1[0] == "b8" and e2[0] == "b8":
                     call = pe_packed_call.call_blob(
-                        (pack1.enc[lo:hi], pack1.lens[lo:hi],
-                         pack2.enc[lo:hi], pack2.lens[lo:hi]) + rest,
+                        (e1[1][lo:hi], pack1.lens[lo:hi],
+                         e2[1][lo:hi], pack2.lens[lo:hi]) + rest,
                         rows, **kw)
                 else:
                     call = pe_pipeline_call.call_blob(

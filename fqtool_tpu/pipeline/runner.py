@@ -29,7 +29,8 @@ from ..host.umi import process_umi
 from ..io.fastq import (AsyncWriter, OutputWriter, ReadPack, format_selected,
                         iter_packs, prefetch_iter)
 from ..ops.filters import FAILED_TYPES
-from .se import se_packed_call, se_pipeline, se_pipeline_call
+from .se import (se_packed5_call, se_packed_call, se_pipeline,
+                 se_pipeline_call)
 
 # tag catalog for failed-stream suffixes: one buffer + per-code offsets
 _TAG_BUF = b"".join(t.encode() for t in FAILED_TYPES)
@@ -48,14 +49,33 @@ def encode_packs(it):
     transport encoding (ops/packed.py) to every ReadPack flowing through,
     when the link probe enables packing.  The encode pass is independent of
     the host prep (UMI rewrites names only; index filter reads names only),
-    so doing it here overlaps it with the previous pack's fold."""
+    so doing it here overlaps it with the previous pack's fold.
+
+    The resolved ``pack.enc`` is a mode tuple: ``("b5", packed, dict32)``
+    when FQTOOL_TPU_PACKED5=1 and the pack's (base, qual) alphabet fits the
+    5-bit dictionary transport (0.625x the bytes,
+    ops/packed.py::encode5_host), else ``("b8", enc)``; None when the
+    content is unencodable.  b5 is OPT-IN: on the axon attachment an
+    interleaved A/B measured it consistently slower despite the byte saving
+    (SE 163k->95k, PE 99k->82k reads/s -- the wire appears to charge for
+    padded lane tiles, not logical bytes), so it is a lever for
+    byte-priced links, not a default."""
     from ..host.linkprobe import use_packed
     from ..io.fastq import ReadPack, shared_pool
-    from ..ops.packed import encode_host
+    from ..ops.packed import encode5_host, encode_host
+
+    b5_ok = os.environ.get("FQTOOL_TPU_PACKED5", "0") == "1"
 
     def enc_one(p):
         with stage("pack_encode"):
-            return encode_host(p.seq, p.qual)
+            enc = encode_host(p.seq, p.qual)
+            if enc is None:
+                return None
+            if b5_ok:
+                e5 = encode5_host(enc)
+                if e5 is not None:
+                    return ("b5",) + e5
+            return ("b8", enc)
 
     it = iter(it)
     while True:
@@ -313,7 +333,8 @@ class SingleEndRunner:
         if mh is not None:
             self._run_mh(mh)
             return
-        maybe_enable_sharding(se_pipeline_call, se_packed_call)
+        maybe_enable_sharding(se_pipeline_call, se_packed_call,
+                              se_packed5_call)
         split = SplitWriter(opt, paired=False) if opt.split.enabled else None
         out_writer = (AsyncWriter(opt.out1, opt.compression)
                       if opt.out1 and not opt.split.enabled else None)
@@ -367,7 +388,8 @@ class SingleEndRunner:
         from ..config.options import OptionError
         if opt.split.enabled:
             raise OptionError("split output is not supported in multi-host runs")
-        maybe_enable_sharding(se_pipeline_call, se_packed_call)
+        maybe_enable_sharding(se_pipeline_call, se_packed_call,
+                              se_packed5_call)
         writers = {}
         if opt.out1:
             writers["out1"] = mh.part_writer(opt.out1, opt.compression)
@@ -475,9 +497,14 @@ class SingleEndRunner:
             # packed transport: the encoding is attached to the pack by
             # encode_packs in the prefetch thread (link-probe gated); None
             # when packing is off or the content is unencodable
-            if pack.enc is not None:
+            enc = pack.enc
+            if enc is not None and enc[0] == "b5":
+                pending.append((n, se_packed5_call.call_blob(
+                    (enc[1][lo:hi],) + rest, rows, aux=(enc[2],),
+                    enc_width=pack.seq.shape[1], **kw)))
+            elif enc is not None:
                 pending.append((n, se_packed_call.call_blob(
-                    (pack.enc[lo:hi],) + rest, rows, **kw)))
+                    (enc[1][lo:hi],) + rest, rows, **kw)))
             else:
                 pending.append((n, se_pipeline_call.call_blob(
                     (pack.seq[lo:hi], pack.qual[lo:hi]) + rest, rows, **kw)))

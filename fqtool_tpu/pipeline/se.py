@@ -166,3 +166,19 @@ def _se_pipeline_packed(enc, lens, start0, keep, real, **kw):
 se_packed_call = BlobCall(
     _se_pipeline_packed,
     ("p", "adapter_r1", "use_start0", "with_kmer", "start0_static"))
+
+
+def _se_pipeline_packed5(packed, lens, start0, keep, real, dict32, *,
+                         enc_width, **kw):
+    """5-bit dictionary transport variant (ops/packed.py::encode5_host):
+    0.625x the wire bytes of the 1-byte encoding."""
+    from ..ops.packed import decode5_device
+
+    seq, qual = decode5_device(packed, dict32, enc_width)
+    return se_pipeline.__wrapped__(seq, qual, lens, start0, keep, real, **kw)
+
+
+se_packed5_call = BlobCall(
+    _se_pipeline_packed5,
+    ("p", "adapter_r1", "use_start0", "with_kmer", "start0_static",
+     "enc_width"))

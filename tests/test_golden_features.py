@@ -309,6 +309,33 @@ def test_worker_threads_output_invariant(tmp_path):
     assert outs[0] == outs[1], "-w changed output bytes"
 
 
+def test_packed5_transport_output_invariant(tmp_path):
+    # the opt-in 5-bit dictionary transport (FQTOOL_TPU_PACKED5=1) must not
+    # change any output byte vs the default transport
+    import os
+    import subprocess
+    import sys as _sys
+
+    root = str(Path(__file__).resolve().parents[1])
+    R2 = TESTDATA / "r2.fq.gz"
+    outs = []
+    for b5 in ("0", "1"):
+        d = tmp_path / f"b5_{b5}"
+        d.mkdir()
+        env = dict(os.environ, JAX_PLATFORMS="cpu", FQTOOL_TPU_PACKED="1",
+                   FQTOOL_TPU_PACKED5=b5,
+                   PYTHONPATH=root + os.pathsep + os.environ.get("PYTHONPATH", ""))
+        r = subprocess.run(
+            [_sys.executable, "-m", "fqtool_tpu.main", "-i", str(R1),
+             "-I", str(R2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
+             "-q", "-m", "--merge_output", "m.fq.gz", "-c"],
+            cwd=d, env=env, capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        outs.append(tuple((d / f).read_bytes()
+                          for f in ("o1.fq.gz", "o2.fq.gz", "m.fq.gz")))
+    assert outs[0] == outs[1], "PACKED5 changed output bytes"
+
+
 def test_buffer_and_dead_flags_output_invariant(oracle, tmp_path):
     # --max_packs_in_repo/--max_packs_in_mem tune ring sizes in the
     # reference (options.h:15-24) and never change output; -W/-M parse but

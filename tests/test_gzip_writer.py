@@ -2,10 +2,14 @@
 
 The writer deflates 1 MiB blocks concurrently on the shared pool and
 stitches them into ONE gzip member (Z_FULL_FLUSH boundaries + final empty
-Z_FINISH block + crc32/isize trailer).  The compressed bytes are never
-compared against the oracle (only decompressed records are), but they must
-round-trip through any zlib reader and be a deterministic function of the
-written byte stream regardless of write() call boundaries.
+Z_FINISH block + crc32/isize trailer).  Since round 3 every write() call is
+ALSO a block boundary: a pack's compressed bytes depend only on the pack,
+which is what lets multi-host ranks deflate their packs independently and
+rank 0 merge by concatenation (dist/multihost.py).  The compressed bytes
+are never compared against the oracle (only decompressed records are), but
+they must round-trip through any zlib reader, be deterministic for a given
+sequence of write() calls, and decompress identically regardless of call
+boundaries.
 """
 
 import gzip
@@ -28,16 +32,21 @@ def _write(path, chunks, level=3):
 def test_roundtrip_and_determinism(tmp_path):
     rng = np.random.default_rng(0)
     data = rng.integers(32, 127, 5 * (1 << 20) + 12345, dtype=np.uint8).tobytes()
-    # same bytes, different write boundaries => identical file bytes
     a = _write(tmp_path / "a.gz", [data])
+    # same write-call sequence => identical file bytes (determinism)
+    a2 = _write(tmp_path / "a2.gz", [data])
+    assert a == a2
+    # different call boundaries => different block framing (by design since
+    # round 3: calls are block boundaries) but identical decompressed bytes
     cuts = sorted(rng.integers(0, len(data), 7).tolist())
     parts = [data[i:j] for i, j in zip([0] + cuts, cuts + [len(data)])]
     b = _write(tmp_path / "b.gz", parts + [b""])
-    assert a == b
+    assert gzip.decompress(b) == data
     assert gzip.decompress(a) == data
     # single-member stream: a strict zlib reader consumes it in one go
-    d = zlib.decompressobj(wbits=31)
-    assert d.decompress(a) == data and d.eof
+    for blob in (a, b):
+        d = zlib.decompressobj(wbits=31)
+        assert d.decompress(blob) == data and d.eof
 
 
 def test_empty_and_tiny(tmp_path):

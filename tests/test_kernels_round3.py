@@ -113,6 +113,37 @@ def test_kmer_mxu_matches_scatter(k, monkeypatch):
     np.testing.assert_array_equal(mxu, sc)
 
 
+def test_packed5_roundtrip_exact():
+    """5-bit dictionary transport: encode5_host -> decode5_device must be
+    byte-exact for binned-quality content, and must refuse (None) when the
+    (base, qual) alphabet exceeds 32 values."""
+    import jax
+
+    from fqtool_tpu.ops.packed import (decode5_device, encode5_host,
+                                       encode_host)
+
+    rng = np.random.default_rng(9)
+    for trial in range(4):
+        B = int(rng.integers(3, 60))
+        L = int(rng.integers(1, 220))
+        seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), (B, L)).astype(np.uint8)
+        qual = rng.choice(np.frombuffer(b"#5A?FE", np.uint8), (B, L)).astype(np.uint8)
+        lens = rng.integers(0, L + 1, B)
+        mask = np.arange(L)[None, :] < lens[:, None]
+        seq = np.where(mask, seq, 0).astype(np.uint8)
+        qual = np.where(mask, qual, 0).astype(np.uint8)
+        enc = encode_host(seq, qual)
+        packed, d32 = encode5_host(enc)
+        assert packed.shape[1] == -(-L // 8) * 5  # 0.625x the bytes
+        s2, q2 = jax.jit(lambda p, d: decode5_device(p, d, L))(packed, d32)
+        np.testing.assert_array_equal(np.asarray(s2), seq)
+        np.testing.assert_array_equal(np.asarray(q2), qual)
+    # >32 distinct (base, qual) values: must decline
+    qual = rng.integers(33, 80, (8, 64)).astype(np.uint8)
+    seq = np.full((8, 64), ord("A"), np.uint8)
+    assert encode5_host(encode_host(seq, qual)) is None
+
+
 def test_output_writer_per_call_block_framing(tmp_path):
     """Every write call is a deflate-block boundary: the compressed stream
     of two writers that receive the same bytes split at the same call
