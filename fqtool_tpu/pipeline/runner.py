@@ -57,9 +57,9 @@ def encode_packs(it):
     ops/packed.py::encode5_host), else ``("b8", enc)``; None when the
     content is unencodable.  b5 is OPT-IN: on the axon attachment an
     interleaved A/B measured it consistently slower despite the byte saving
-    (SE 163k->95k, PE 99k->82k reads/s -- the wire appears to charge for
-    padded lane tiles, not logical bytes), so it is a lever for
-    byte-priced links, not a default."""
+    (SE 163k->95k, PE 99k->82k reads/s; padded-tile wire accounting
+    and host bit-packing cost are the candidate causes), so it is a
+    lever for byte-priced links, not a default."""
     from ..host.linkprobe import use_packed
     from ..io.fastq import ReadPack, shared_pool
     from ..ops.packed import encode5_host, encode_host
