@@ -12,7 +12,6 @@ src/filterresult.cpp:138-177): empty adapters are skipped.
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict
 
 import numpy as np
 
