@@ -271,7 +271,7 @@ def multihost_scaling(workdir: str) -> dict:
         if not warmed:
             warmed = True
             run_group(nprocs)      # warm-up: persistent-cache compiles
-        best = run_group(nprocs)
+        best = min(run_group(nprocs) for _ in range(2))  # single-box noise
         res[str(nprocs)] = round(n_reads / best, 1)
         out = os.path.join(workdir,
                            "out.fq.gz" if nprocs == 1 else f"out_mh{nprocs}.fq.gz")
