@@ -90,7 +90,19 @@ def copy_spans(dst: np.ndarray, dst_off: np.ndarray,
                src_flat: np.ndarray, src_off: np.ndarray,
                plens: np.ndarray) -> None:
     """Vectorized ragged copy: dst[dst_off[i] : +plens[i]] =
-    src_flat[src_off[i] : +plens[i]] for every row."""
+    src_flat[src_off[i] : +plens[i]] for every row.
+
+    Native memcpy-per-row when the extension is available (~8x the numpy
+    formulation, which pays arange/repeat int64 index vectors per byte --
+    this sits on the UMI name-rewrite path of every pack)."""
+    from ..io.native import copy_spans_native
+
+    if dst.flags.c_contiguous and src_flat.flags.c_contiguous and \
+            copy_spans_native(
+                dst, np.ascontiguousarray(dst_off, np.int64),
+                src_flat, np.ascontiguousarray(src_off, np.int64),
+                np.ascontiguousarray(plens, np.int64)):
+        return
     sel = plens > 0
     if not sel.any():
         return

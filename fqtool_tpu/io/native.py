@@ -259,6 +259,21 @@ def top_keys(counts: np.ndarray, candidates: np.ndarray,
     return out
 
 
+def copy_spans_native(dst: np.ndarray, dst_off: np.ndarray,
+                      src: np.ndarray, src_off: np.ndarray,
+                      lens: np.ndarray) -> bool:
+    """Ragged span copy (dst[dst_off[i]:+lens[i]] = src[src_off[i]:+lens[i]]).
+    False when the library is unavailable (caller falls back to numpy).
+    All arrays must be contiguous; offsets int64."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    lib.fq_copy_spans(_ptr(dst, _u8p), _ptr(dst_off, _i64p),
+                      _ptr(src, _u8p), _ptr(src_off, _i64p),
+                      _ptr(lens, _i64p), len(lens))
+    return True
+
+
 class Inflater:
     """Streaming multi-member gzip inflater over the native codec; mirrors
     the zlib.decompressobj(wbits=47) + reset-on-member-end fallback."""

@@ -469,6 +469,20 @@ void fq_assemble_merged(const uint8_t* m1s, const uint8_t* m1q, int64_t w1,
     }
 }
 
+// Generic ragged span copy (host/names.py::copy_spans):
+//   dst[dst_off[i] : +lens[i]] = src[src_off[i] : +lens[i]]
+// memcpy per row instead of the numpy formulation's arange/repeat index
+// vectors (~6 passes with 8-byte indices per output byte).  Offsets are
+// trusted (the caller computed them from its own cumsums); lens <= 0 skip.
+void fq_copy_spans(uint8_t* dst, const int64_t* dst_off,
+                   const uint8_t* src, const int64_t* src_off,
+                   const int64_t* lens, int64_t n) {
+    for (int64_t r = 0; r < n; ++r) {
+        if (lens[r] > 0)
+            memcpy(dst + dst_off[r], src + src_off[r], (size_t)lens[r]);
+    }
+}
+
 // 64-bit polynomial hash of one span (same P as the window scans).
 uint64_t fq_hash64(const uint8_t* s, int64_t n) {
     const uint64_t P = 1099511628211ull;
