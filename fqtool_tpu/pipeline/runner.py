@@ -165,13 +165,6 @@ def loginfo(msg: str) -> None:
     sys.stderr.write(time.strftime("[%H:%M:%S] ") + msg + "\n")
 
 
-def start_host_copies(tree) -> None:
-    """No-op placeholder: copy_to_host_async deadlocks the axon remote
-    attachment (it cannot tolerate multiple outstanding transfers), so leaf
-    counts are minimized via blob outputs instead."""
-    return None
-
-
 def maybe_enable_sharding(*blob_calls) -> None:
     """Data-parallel execution over all local devices: install a 1-D
     read-axis mesh on the pipeline calls when more than one device is
