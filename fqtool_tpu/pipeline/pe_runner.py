@@ -720,16 +720,13 @@ class PairEndRunner:
         lens[1::3] = rlen1
         lens[2::3] = rlen2
 
-        # merged names: host-mangled for the selected pairs only
+        # merged names: host-mangled for the selected pairs only, assembled
+        # in bulk (ragged pieces + native span copy -- no per-read Python)
         idxs = np.flatnonzero(selM)
-        mnames = [_merged_name(pack1.name(lo + int(i)), int(m_len1[i]),
-                               int(m_len2[i])) for i in idxs]
-        mbuf = b"".join(mnames)
-        moff = np.zeros(len(mnames), np.int64)
-        mlens = np.fromiter((len(x) for x in mnames), count=len(mnames),
-                            dtype=np.int32)
-        if len(mnames) > 1:
-            np.cumsum(mlens[:-1], out=moff[1:])
+        mbuf_a, moff, mlens32 = _merged_names_bulk(
+            pack1, lo + idxs, m_len1[idxs], m_len2[idxs])
+        mbuf = mbuf_a.tobytes()
+        mlens = mlens32.astype(np.int32)
 
         nb1, no1, nl1 = pack1.name_arrays()
         sb1, so1, sl1 = pack1.strand_arrays()
@@ -872,9 +869,66 @@ class PairEndRunner:
 def _merged_name(name: bytes, len1: int, len2: int) -> bytes:
     """Merged read naming with the reference's off-by-one
     (overlapanalysis.cpp:94-101): drops the character before the first space;
-    a name with no space is dropped entirely."""
+    a name with no space is dropped entirely.  Behavioral reference for
+    :func:`_merged_names_bulk` (tests)."""
     tag = b"_merged_%d_%d" % (len1, len2)
     pos = name.find(b" ")
     if pos < 0:
         return tag
     return name[: pos - 1] + tag + name[pos:]
+
+
+def _ascii_ints(vals: np.ndarray, width: int = 7):
+    """Decimal ASCII of non-negative ints, right-aligned in a [k, width]
+    matrix; returns (matrix, per-row start, per-row digit count)."""
+    vals = vals.astype(np.int64)
+    mat = np.empty((len(vals), width), np.uint8)
+    v = vals.copy()
+    for c in range(width - 1, -1, -1):
+        mat[:, c] = (v % 10) + 48
+        v //= 10
+    ndig = np.ones(len(vals), np.int64)
+    t = 10
+    for _ in range(width - 1):
+        ndig += vals >= t
+        t *= 10
+    return mat, width - ndig, ndig
+
+
+def _merged_names_bulk(pack, rows: np.ndarray, len1: np.ndarray,
+                       len2: np.ndarray):
+    """Vectorized :func:`_merged_name` over the selected rows: ragged pieces
+    assembled with the native span copy -- no per-read Python.  Returns
+    (flat uint8 buffer, per-row offsets int64, per-row lengths int64),
+    replicating the scalar's slice semantics exactly (pos == 0 slices
+    ``name[:-1]``; a name with no space keeps only the tag)."""
+    from ..host.names import RaggedBuilder, name_matrix
+
+    k = len(rows)
+    if k == 0:
+        z64 = np.zeros(0, np.int64)
+        return np.zeros(0, np.uint8), z64, z64
+    nb, no_all, nl_all = pack.name_arrays()
+    no = no_all[rows].astype(np.int64)
+    nl = nl_all[rows].astype(np.int64)
+    mat = name_matrix(nb, no, nl)
+    W = mat.shape[1]
+    space = (mat == 32) & (np.arange(W)[None, :] < nl[:, None])
+    has = space.any(axis=1)
+    pos = np.argmax(space, axis=1).astype(np.int64)
+    pre_len = np.where(has, np.where(pos >= 1, pos - 1,
+                                     np.maximum(nl - 1, 0)), 0)
+    post_len = np.where(has, nl - pos, 0)
+
+    ones = np.ones(k, bool)
+    nb_flat = np.frombuffer(nb, np.uint8)
+    b = RaggedBuilder(k)
+    b.add(nb_flat, no, pre_len)
+    b.add_const(b"_merged_", ones)
+    d1, s1, n1 = _ascii_ints(np.asarray(len1))
+    b.add_matrix(d1, s1, n1)
+    b.add_const(b"_", ones)
+    d2, s2, n2 = _ascii_ints(np.asarray(len2))
+    b.add_matrix(d2, s2, n2)
+    b.add(nb_flat, no + pos, post_len)
+    return b.build()

@@ -113,6 +113,28 @@ def test_kmer_mxu_matches_scatter(k, monkeypatch):
     np.testing.assert_array_equal(mxu, sc)
 
 
+def test_merged_names_bulk_matches_scalar():
+    """Bulk merged-name assembly must reproduce _merged_name byte-for-byte,
+    including the pos-1 off-by-one, pos==0, no-space, and 0-length cases."""
+    from fqtool_tpu.io.fastq import make_pack
+    from fqtool_tpu.pipeline.pe_runner import (_merged_name,
+                                               _merged_names_bulk)
+
+    names = [b"@A123:456 1:N:0:ACGT", b"@nospace", b"@x 1", b"@ leading",
+             b"@pair:99887766 2:N:0:TT", b"@q", b"@a b c d"]
+    recs = [(nm, b"ACGT", b"+", b"IIII") for nm in names]
+    pack = make_pack(recs, False, 1)
+    rng = np.random.default_rng(2)
+    rows = np.arange(len(names))
+    len1 = rng.integers(0, 120000, len(names))
+    len2 = rng.integers(0, 120000, len(names))
+    buf, off, lens = _merged_names_bulk(pack, rows, len1, len2)
+    for i in range(len(names)):
+        got = buf[int(off[i]) : int(off[i] + lens[i])].tobytes()
+        want = _merged_name(names[i], int(len1[i]), int(len2[i]))
+        assert got == want, (names[i], got, want)
+
+
 def test_packed5_roundtrip_exact():
     """5-bit dictionary transport: encode5_host -> decode5_device must be
     byte-exact for binned-quality content, and must refuse (None) when the
