@@ -48,6 +48,31 @@ def test_call_blob_matches_per_array(n, monkeypatch):
                                       err_msg=k)
 
 
+def test_call_blob_aux_args_not_padded(monkeypatch):
+    """aux args (pack-level side data, e.g. transport dictionaries) must keep
+    their own shape in both transports."""
+    import jax.numpy as jnp
+
+    rows, width = 32, 11
+    rng = np.random.default_rng(3)
+    seq, qual, lens, keep, real = _mk_args(rng, 20, rows, width)
+    lut = rng.integers(0, 255, 32).astype(np.uint8)
+
+    def body(seq, qual, lens, keep, real, lut):
+        return {"x": seq.astype(jnp.int32) + lut.astype(jnp.int32)[0],
+                "lut_sum": jnp.sum(lut.astype(jnp.int32))}
+
+    call = BlobCall(body, ())
+    monkeypatch.setenv("FQTOOL_TPU_INBLOB", "0")
+    ref = call.call_blob((seq, qual, lens, keep, real), rows, aux=(lut,)).get()
+    monkeypatch.setenv("FQTOOL_TPU_INBLOB", "1")
+    got = call.call_blob((seq, qual, lens, keep, real), rows, aux=(lut,)).get()
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(got[k]),
+                                      err_msg=k)
+    assert int(np.asarray(got["lut_sum"])) == int(lut.astype(np.int64).sum())
+
+
 def test_pack_roundtrip_spec():
     rows, width = 16, 9
     rng = np.random.default_rng(0)
