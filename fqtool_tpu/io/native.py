@@ -130,6 +130,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, _u8p,
             _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
             _u8p, _u8p, ctypes.c_int64]
+        lib.fq_encode.restype = ctypes.c_int32
+        lib.fq_encode.argtypes = [_u8p, _u8p, ctypes.c_int64, _u8p, _u8p]
+        lib.fq_pack5.restype = ctypes.c_int64
+        lib.fq_pack5.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int64,
+                                 ctypes.c_int64, _u8p, _u8p]
+        lib.fq_copy_spans.restype = None
+        lib.fq_copy_spans.argtypes = [_u8p, _i64p, _u8p, _i64p, _i64p,
+                                      ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -257,6 +265,35 @@ def top_keys(counts: np.ndarray, candidates: np.ndarray,
     lib.fq_top_keys(_ptr(counts, _i64p), _ptr(candidates, _i64p),
                     len(candidates), topnum, _ptr(out, _i64p))
     return out
+
+
+def encode_native(seq: np.ndarray, qual: np.ndarray,
+                  lut: np.ndarray) -> Optional[np.ndarray]:
+    """One-pass enc = lut[seq, qual] (ops/packed.py::encode_host); None when
+    the library is unavailable OR the content is invalid (max enc == 255)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    enc = np.empty(seq.shape, np.uint8)
+    mx = lib.fq_encode(_ptr(seq, _u8p), _ptr(qual, _u8p), seq.size,
+                       _ptr(lut, _u8p), _ptr(enc, _u8p))
+    return None if mx == 255 else enc
+
+
+def pack5_native(enc: np.ndarray):
+    """5-bit dictionary packing (ops/packed.py::encode5_host).  Returns
+    (packed, dict32), None when the alphabet exceeds 32 values, or False
+    when the library is unavailable (caller uses the numpy path)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    B, L = enc.shape
+    Lp = -(-L // 8) * 8
+    packed = np.empty((B, (Lp // 8) * 5), np.uint8)
+    dict32 = np.zeros(32, np.uint8)
+    nvals = lib.fq_pack5(_ptr(enc, _u8p), B, L, Lp,
+                         _ptr(packed, _u8p), _ptr(dict32, _u8p))
+    return None if nvals < 0 else (packed, dict32)
 
 
 def copy_spans_native(dst: np.ndarray, dst_off: np.ndarray,

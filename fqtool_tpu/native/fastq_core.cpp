@@ -469,6 +469,64 @@ void fq_assemble_merged(const uint8_t* m1s, const uint8_t* m1q, int64_t w1,
     }
 }
 
+// ---------------------------------------------------------------------------
+// packed transport encode (ops/packed.py)
+// ---------------------------------------------------------------------------
+
+// enc = lut[seq, qual] in one pass; returns the max encoded value (255 =
+// invalid content somewhere, caller falls back to the raw path).
+int32_t fq_encode(const uint8_t* seq, const uint8_t* qual, int64_t n,
+                  const uint8_t* lut /* [256*256] */, uint8_t* enc) {
+    uint8_t mx = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t v = lut[((int32_t)seq[i] << 8) | qual[i]];
+        enc[i] = v;
+        if (v > mx) mx = v;
+    }
+    return mx;
+}
+
+// 5-bit dictionary packing of enc: builds the value dictionary (<= 32
+// distinct values or returns -1), then packs 8 dictionary indices into 5
+// bytes (little-endian bit offsets 5*i).  rows are [B, L] with L padded to
+// a multiple of 8 via `lp`; tail positions past l pack as index 0 (the
+// device decode slices them away before use).
+int64_t fq_pack5(const uint8_t* enc, int64_t b, int64_t l, int64_t lp,
+                 uint8_t* packed, uint8_t* dict32) {
+    uint8_t present[256];
+    memset(present, 0, sizeof(present));
+    const int64_t n = b * l;
+    for (int64_t i = 0; i < n; ++i) present[enc[i]] = 1;
+    uint8_t inv[256];
+    int64_t nvals = 0;
+    for (int32_t v = 0; v < 256; ++v) {
+        if (present[v]) {
+            if (nvals >= 32) return -1;
+            dict32[nvals] = (uint8_t)v;
+            inv[v] = (uint8_t)nvals;
+            ++nvals;
+        }
+    }
+    const int64_t groups = lp / 8;
+    for (int64_t r = 0; r < b; ++r) {
+        const uint8_t* row = enc + r * l;
+        uint8_t* out = packed + r * groups * 5;
+        for (int64_t g = 0; g < groups; ++g) {
+            uint8_t c[8];
+            for (int k = 0; k < 8; ++k) {
+                int64_t j = g * 8 + k;
+                c[k] = j < l ? inv[row[j]] : (uint8_t)0;
+            }
+            out[g * 5 + 0] = (uint8_t)(c[0] | (c[1] << 5));
+            out[g * 5 + 1] = (uint8_t)((c[1] >> 3) | (c[2] << 2) | (c[3] << 7));
+            out[g * 5 + 2] = (uint8_t)((c[3] >> 1) | (c[4] << 4));
+            out[g * 5 + 3] = (uint8_t)((c[4] >> 4) | (c[5] << 1) | (c[6] << 6));
+            out[g * 5 + 4] = (uint8_t)((c[6] >> 2) | (c[7] << 3));
+        }
+    }
+    return nvals;
+}
+
 // Generic ragged span copy (host/names.py::copy_spans):
 //   dst[dst_off[i] : +lens[i]] = src[src_off[i] : +lens[i]]
 // memcpy per row instead of the numpy formulation's arange/repeat index

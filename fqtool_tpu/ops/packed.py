@@ -51,7 +51,14 @@ for _i, _ch in enumerate(b"ACGTN"):
 
 def encode_host(seq: np.ndarray, qual: np.ndarray) -> Optional[np.ndarray]:
     """Encode a zero-padded ASCII (seq, qual) pair into one uint8 matrix, or
-    None when the content is outside the encodable alphabet/quality range."""
+    None when the content is outside the encodable alphabet/quality range.
+    Native single pass when available (71 -> ~9 ms per 64k x 152 chunk);
+    numpy LUT gather otherwise."""
+    from ..io.native import encode_native, get_lib
+
+    if get_lib() is not None and seq.flags.c_contiguous and \
+            qual.flags.c_contiguous:
+        return encode_native(seq, qual, _ENC_LUT)
     enc = _ENC_LUT[seq, qual]
     if int(enc.max(initial=0)) == _INVALID:
         return None
@@ -72,6 +79,12 @@ def encode5_host(enc: np.ndarray):
     1-byte encoding).  The dictionary rides to the device as a tiny array
     argument; decode is exact (decode5_device).
     """
+    from ..io.native import pack5_native
+
+    if enc.flags.c_contiguous:
+        got = pack5_native(enc)
+        if got is not False:  # None = >32 values; tuple = packed result
+            return got
     counts = np.bincount(enc.reshape(-1), minlength=256)
     vals = np.flatnonzero(counts).astype(np.uint8)
     if len(vals) > 32:
@@ -85,12 +98,23 @@ def encode5_host(enc: np.ndarray):
     Lp = -(-L // 8) * 8
     if Lp != L:
         codes = np.pad(codes, ((0, 0), (0, Lp - L)))
-    c = codes.reshape(B, Lp // 8, 8).astype(np.uint64)
-    words = (c[..., 0] | c[..., 1] << 5 | c[..., 2] << 10 | c[..., 3] << 15
-             | c[..., 4] << 20 | c[..., 5] << 25 | c[..., 6] << 30
-             | c[..., 7] << 35)
-    by = words.astype("<u8").view(np.uint8).reshape(B, Lp // 8, 8)[..., :5]
-    return np.ascontiguousarray(by).reshape(B, (Lp // 8) * 5), dict32
+    # pure uint8 plane arithmetic (little-endian bit offsets 5*i): ~10x the
+    # uint64 shift-chain formulation this replaced, and this pass sits on
+    # the dispatch critical path when the pool is busy
+    c = codes.reshape(B, Lp // 8, 8)
+    c0, c1, c2, c3 = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
+    c4, c5, c6, c7 = c[..., 4], c[..., 5], c[..., 6], c[..., 7]
+
+    def sh(x, k):  # dtype-preserving uint8 shift (wraparound intended)
+        return np.left_shift(x, k, dtype=np.uint8, casting="unsafe")
+
+    out = np.empty((B, Lp // 8, 5), np.uint8)
+    out[..., 0] = c0 | sh(c1, 5)
+    out[..., 1] = (c1 >> 3) | sh(c2, 2) | sh(c3, 7)
+    out[..., 2] = (c3 >> 1) | sh(c4, 4)
+    out[..., 3] = (c4 >> 4) | sh(c5, 1) | sh(c6, 6)
+    out[..., 4] = (c6 >> 2) | sh(c7, 3)
+    return out.reshape(B, (Lp // 8) * 5), dict32
 
 
 def decode5_device(packed: jnp.ndarray, dict32: jnp.ndarray,

@@ -55,16 +55,17 @@ def encode_packs(it):
     when FQTOOL_TPU_PACKED5=1 and the pack's (base, qual) alphabet fits the
     5-bit dictionary transport (0.625x the bytes,
     ops/packed.py::encode5_host), else ``("b8", enc)``; None when the
-    content is unencodable.  b5 is OPT-IN: on the axon attachment an
-    interleaved A/B measured it consistently slower despite the byte saving
-    (SE 163k->95k, PE 99k->82k reads/s; padded-tile wire accounting
-    and host bit-packing cost are the candidate causes), so it is a
-    lever for byte-priced links, not a default."""
+    content is unencodable.  b5 is ON by default: the wire charges logical
+    bytes (measured: a [B, 95] plane uploads in 0.67x the time of
+    [B, 152]), and after the native single-pass encoder removed the
+    host packing cost from the dispatch path (517 -> 13 ms per 64k
+    chunk) an interleaved A/B measures b5 ahead on both SE (+16%) and
+    PE (+9%) mean walls.  FQTOOL_TPU_PACKED5=0 disables."""
     from ..host.linkprobe import use_packed
     from ..io.fastq import ReadPack, shared_pool
     from ..ops.packed import encode5_host, encode_host
 
-    b5_ok = os.environ.get("FQTOOL_TPU_PACKED5", "0") == "1"
+    b5_ok = os.environ.get("FQTOOL_TPU_PACKED5", "1") == "1"
 
     def enc_one(p):
         with stage("pack_encode"):
