@@ -435,7 +435,10 @@ def format_plane_records(select: np.ndarray,
     m = sel.astype(bool)
     total = int(np.sum((name_len + 1 + out_len + 1 + strand_len + 1 + out_len + 1
                         + extra)[m], dtype=np.int64))
-    out = ctypes.create_string_buffer(total)
+    # np.empty, not create_string_buffer: the ctypes buffer zero-fills
+    # (~0.12 s per 50 MB pack on this box) before C overwrites every byte
+    out = np.empty(max(total, 1), np.uint8)
+    out_p = ctypes.cast(_ptr(out, _u8p), ctypes.c_char_p)
     args = []
     keep = []  # hold contiguous copies alive across the C call
     for k in range(3):
@@ -457,8 +460,8 @@ def format_plane_records(select: np.ndarray,
         tags_buf,
         _ptr(tag_off, _i64p) if tag_off is not None else None,
         _ptr(tag_len, _i32p) if tag_len is not None else None,
-        out)
-    return out.raw[:written]
+        out_p)
+    return out[:written].tobytes()
 
 
 def format_records(select: np.ndarray,
@@ -488,7 +491,10 @@ def format_records(select: np.ndarray,
     m = sel.astype(bool)
     total = int(np.sum((name_len + 1 + out_len + 1 + strand_len + 1 + out_len + 1
                         + extra)[m], dtype=np.int64))
-    out = ctypes.create_string_buffer(total)
+    # np.empty, not create_string_buffer: the ctypes buffer zero-fills
+    # (~0.12 s per 50 MB pack on this box) before C overwrites every byte
+    out = np.empty(max(total, 1), np.uint8)
+    out_p = ctypes.cast(_ptr(out, _u8p), ctypes.c_char_p)
     written = lib.fq_format(
         n, _ptr(sel, _u8p),
         names_buf, _ptr(name_off, _i64p), _ptr(name_len, _i32p),
@@ -499,5 +505,5 @@ def format_records(select: np.ndarray,
         tags_buf,
         _ptr(tag_off, _i64p) if tag_off is not None else None,
         _ptr(tag_len, _i32p) if tag_len is not None else None,
-        out)
-    return out.raw[:written]
+        out_p)
+    return out[:written].tobytes()
