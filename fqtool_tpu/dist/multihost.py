@@ -218,6 +218,14 @@ class MultihostContext:
 
     def iter_owned_se(self, path: str, pack_reads: int,
                       phred64: bool) -> Iterator[Tuple[int, object]]:
+        from . import ingest
+        plan = ingest.build_plan(self, [path], pack_reads)
+        if plan is not None:
+            yield from ingest.iter_planned_se(plan, self.rank, phred64)
+            return
+        # fallback: serial scan with ownership skips (strict 4-line FASTQ
+        # could not be proven -- CR line endings, blank lines, stdin, or an
+        # unsplittable gzip; semantics match the reference reader exactly)
         rd = PackReader(path, pack_reads, phred64)
         gidx = 0
         while True:
@@ -230,6 +238,19 @@ class MultihostContext:
 
     def iter_owned_pe(self, path1: str, path2: str, interleaved: bool,
                       pack_reads: int, phred64: bool):
+        from . import ingest
+        if interleaved:
+            plan = ingest.build_plan(self, [path1], pack_reads,
+                                     rec_per_unit=2)
+            if plan is not None:
+                yield from ingest.iter_planned_interleaved(
+                    plan, self.rank, phred64)
+                return
+        else:
+            plan = ingest.build_plan(self, [path1, path2], pack_reads)
+            if plan is not None:
+                yield from ingest.iter_planned_pe(plan, self.rank, phred64)
+                return
         if interleaved:
             # interleaved input is one stream: every rank parses every pack
             # (no per-side skip path exists), ownership only filters -- the

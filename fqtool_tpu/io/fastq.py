@@ -329,12 +329,7 @@ class PackReader:
             want = int(want * 1.5) + (1 << 20)
 
     def _make_native_pack(self, buf: bytes, n: int, spans: dict) -> ReadPack:
-        lens = spans["seq_len"].astype(np.int32)
-        width = _round_width(int(lens.max(initial=0)), self.width_multiple)
-        seq, qual = native.pack_spans(buf, spans, width, self.phred64)
-        return ReadPack(buf, spans["name_off"].copy(), spans["name_len"].copy(),
-                        spans["strand_off"].copy(), spans["strand_len"].copy(),
-                        seq, qual, lens)
+        return pack_from_spans(buf, spans, self.phred64, self.width_multiple)
 
     def _next_python(self, skip: bool = False):
         recs = []
@@ -347,6 +342,18 @@ class PackReader:
         if skip:
             return SkippedPack(len(recs))
         return make_pack(recs, self.phred64, self.width_multiple)
+
+
+def pack_from_spans(buf: bytes, spans: dict, phred64: bool,
+                    width_multiple: int = 8) -> ReadPack:
+    """Build a ReadPack from native tokenizer spans (also used by the
+    parallel-ingest materializer, dist/ingest.py)."""
+    lens = spans["seq_len"].astype(np.int32)
+    width = _round_width(int(lens.max(initial=0)), width_multiple)
+    seq, qual = native.pack_spans(buf, spans, width, phred64)
+    return ReadPack(buf, spans["name_off"].copy(), spans["name_len"].copy(),
+                    spans["strand_off"].copy(), spans["strand_len"].copy(),
+                    seq, qual, lens)
 
 
 def iter_records(path: str) -> Iterator[Tuple[bytes, bytes, bytes, bytes]]:

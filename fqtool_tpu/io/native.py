@@ -138,6 +138,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.fq_copy_spans.restype = None
         lib.fq_copy_spans.argtypes = [_u8p, _i64p, _u8p, _i64p, _i64p,
                                       ctypes.c_int64]
+        lib.fq_scan_new.restype = ctypes.c_void_p
+        lib.fq_scan_new.argtypes = [ctypes.c_int32]
+        lib.fq_scan_feed.restype = None
+        lib.fq_scan_feed.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                     ctypes.c_int64]
+        lib.fq_scan_finish.restype = None
+        lib.fq_scan_finish.argtypes = [ctypes.c_void_p, _i64p, _u8p]
+        lib.fq_scan_free.restype = None
+        lib.fq_scan_free.argtypes = [ctypes.c_void_p]
+        lib.fq_skip_newlines.restype = ctypes.c_int64
+        lib.fq_skip_newlines.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                         ctypes.c_int64, _i64p]
+        lib.gz_inflate_member.restype = ctypes.c_int64
+        lib.gz_inflate_member.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                          ctypes.c_int64, _u8p, ctypes.c_int64,
+                                          _i64p, _i32p]
+        lib.gz_inflate_reset.restype = ctypes.c_int32
+        lib.gz_inflate_reset.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -507,3 +525,104 @@ def format_records(select: np.ndarray,
         _ptr(tag_len, _i32p) if tag_len is not None else None,
         out_p)
     return out[:written].tobytes()
+
+
+class LineScanner:
+    """Incremental strict-FASTQ line scanner over one input region (the
+    parallel-ingest count pass, dist/ingest.py).  Feed raw text chunks;
+    ``finish()`` returns the region summary used to compose the global pack
+    plan."""
+
+    def __init__(self, at_stream_start: bool):
+        self._lib = get_lib()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._ctx = self._lib.fq_scan_new(int(at_stream_start))
+
+    def feed(self, data: bytes) -> None:
+        if data:
+            self._lib.fq_scan_feed(self._ctx, data, len(data))
+
+    def finish(self) -> dict:
+        out = np.zeros(24, np.int64)
+        last4b = np.zeros(4, np.uint8)
+        self._lib.fq_scan_finish(self._ctx, _ptr(out, _i64p),
+                                 _ptr(last4b, _u8p))
+        self._lib.fq_scan_free(self._ctx)
+        self._ctx = None
+        return dict(
+            n_nl=int(out[0]), head_len=int(out[1]), head_first=int(out[2]),
+            tail_len=int(out[3]), tail_first=int(out[4]),
+            seen_cr=bool(out[5]),
+            ok=[bool(out[6 + h]) for h in range(4)],
+            first_lens=[int(v) for v in out[10:14]],
+            first_bytes=[int(v) for v in out[14:18]],
+            last_lens=[int(v) for v in out[18:22]],
+            last_bytes=[int(v) for v in last4b],
+            n_first=int(out[22]), n_checked=int(out[23]))
+
+    def close(self) -> None:
+        if self._ctx:
+            self._lib.fq_scan_free(self._ctx)
+            self._ctx = None
+
+    def __del__(self):  # pragma: no cover
+        self.close()
+
+
+def skip_newlines(buf: bytes, k: int):
+    """(bytes_consumed, newlines_skipped) skipping up to k '\\n' in buf."""
+    lib = get_lib()
+    skipped = np.zeros(1, np.int64)
+    consumed = lib.fq_skip_newlines(buf, len(buf), k, _ptr(skipped, _i64p))
+    return int(consumed), int(skipped[0])
+
+
+class MemberInflater:
+    """Gzip inflater that STOPS at each member boundary (state 2) instead of
+    resetting -- the parallel-ingest region scan uses the member-end events
+    to verify a region's compressed bytes end exactly on a member boundary.
+
+    inflate() returns (out_bytes, member_end: bool); after a member end the
+    caller must call reset() before feeding further input."""
+
+    def __init__(self):
+        self._lib = get_lib()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._ctx = self._lib.gz_inflate_new()
+        if not self._ctx:
+            raise MemoryError("gz_inflate_new failed")
+        self._pending = b""
+
+    def inflate(self, data: bytes, out_cap: int):
+        if self._pending:
+            data = self._pending + data
+            self._pending = b""
+        out = np.empty(out_cap, np.uint8)
+        used = np.zeros(1, np.int64)
+        state = np.zeros(1, np.int32)
+        n = self._lib.gz_inflate_member(self._ctx, data, len(data),
+                                        _ptr(out, _u8p), out_cap,
+                                        _ptr(used, _i64p), _ptr(state, _i32p))
+        if state[0] < 0:
+            raise RuntimeError("corrupt gzip stream")
+        if used[0] < len(data):
+            self._pending = data[int(used[0]):]
+        return out[:n].tobytes(), state[0] == 2
+
+    @property
+    def has_pending(self) -> bool:
+        return bool(self._pending)
+
+    def reset(self) -> None:
+        if self._lib.gz_inflate_reset(self._ctx) != 0:
+            raise RuntimeError("inflateReset failed")
+
+    def close(self) -> None:
+        if self._ctx:
+            self._lib.gz_inflate_free(self._ctx)
+            self._ctx = None
+
+    def __del__(self):  # pragma: no cover
+        self.close()

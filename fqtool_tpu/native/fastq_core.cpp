@@ -600,4 +600,186 @@ void fq_top_keys(const int64_t* counts, const int64_t* cand, int64_t n,
     }
 }
 
+// ---------------------------------------------------------------------------
+// parallel-ingest line scanner (dist/ingest.py)
+// ---------------------------------------------------------------------------
+//
+// Multi-host runs split each input file into per-rank byte regions; every
+// rank scans ONLY its region, and the tiny per-region summaries compose into
+// an exact global pack plan (replacing the round-3 design where every rank
+// inflated and boundary-scanned the ENTIRE input -- the O(world) duplicated
+// work called out as the round-3 scaling tail).  The plan is only valid for
+// strict 4-line FASTQ (no '\r', no blank/skipped lines); the scanner proves
+// that property for its region under all four possible line phases, and any
+// violation makes the caller fall back to the serial-scan path whose
+// semantics match the reference reader exactly (src/fqreader.cpp:90-195).
+//
+// A region generally starts and ends mid-line.  Lines are indexed locally:
+// line 0 is the line the region's first byte belongs to (its head may live
+// in the previous region), so all checks involving line 0 are skipped here
+// and re-verified by rank 0 from the stitched boundary info (head/tail
+// lengths and first bytes of the 4 boundary lines on each side).
+
+struct line_scan_t {
+    int64_t n_nl;          // '\n' seen (== local index of the current line)
+    int64_t cur_len;       // bytes of the current line so far
+    uint8_t cur_first;     // first byte of the current line (if cur_len > 0)
+    int64_t head_len;      // visible length of local line 0
+    uint8_t head_first;    // first visible byte of local line 0
+    uint8_t seen_cr;       // any '\r' in the region
+    uint8_t at_start;      // region starts at stream offset 0 (line 0 complete)
+    uint8_t ok[4];         // strictness under phase hypothesis h (line 0's role)
+    int64_t stash[4];      // seq length awaiting the qual compare, -1 = unset
+    // boundary info for rank-0 stitching: first/last 4 complete lines
+    int64_t first_lens[4]; uint8_t first_bytes[4]; int32_t n_first;
+    int64_t last_lens[4];  uint8_t last_bytes[4];  int64_t n_lines_done;
+};
+
+void* fq_scan_new(int32_t at_stream_start) {
+    line_scan_t* s = (line_scan_t*)calloc(1, sizeof(line_scan_t));
+    s->at_start = (uint8_t)(at_stream_start != 0);
+    for (int h = 0; h < 4; ++h) { s->ok[h] = 1; s->stash[h] = -1; }
+    return s;
+}
+
+static void scan_line_done(line_scan_t* s) {
+    const int64_t j = s->n_nl;       // local index of the finished line
+    const int64_t len = s->cur_len;
+    const uint8_t first = s->cur_first;
+    if (j == 0) { s->head_len = len; s->head_first = first; }
+    if (j > 0 || s->at_start) {
+        // role checks under each hypothesis h: line j plays role (h+j)&3,
+        // roles: 0 name('@'), 1 seq, 2 strand('+'), 3 qual(len==seq len)
+        for (int h = 0; h < 4; ++h) {
+            if (!s->ok[h]) continue;
+            switch ((int)((h + j) & 3)) {
+            case 0: if (len <= 0 || first != '@') s->ok[h] = 0; break;
+            case 1: s->stash[h] = len; break;
+            case 2: if (len <= 0 || first != '+') s->ok[h] = 0; break;
+            case 3:
+                if (s->stash[h] >= 0 && s->stash[h] != len) s->ok[h] = 0;
+                s->stash[h] = -1;
+                break;
+            }
+        }
+        if (s->n_first < 4) {
+            s->first_lens[s->n_first] = len;
+            s->first_bytes[s->n_first] = first;
+            ++s->n_first;
+        }
+        s->last_lens[s->n_lines_done & 3] = len;
+        s->last_bytes[s->n_lines_done & 3] = first;
+        ++s->n_lines_done;
+    }
+    // (line 0 of a mid-stream region is recorded via head_len/head_first
+    // only; rank 0 re-verifies it from the stitched boundary info)
+    ++s->n_nl;
+    s->cur_len = 0;
+    s->cur_first = 0;
+}
+
+void fq_scan_feed(void* ctx, const uint8_t* buf, int64_t len) {
+    line_scan_t* s = (line_scan_t*)ctx;
+    int64_t i = 0;
+    while (i < len) {
+        const uint8_t* nl = (const uint8_t*)memchr(buf + i, '\n', (size_t)(len - i));
+        const int64_t stop = nl ? (nl - buf) : len;
+        if (stop > i) {
+            if (s->cur_len == 0) s->cur_first = buf[i];
+            if (!s->seen_cr && memchr(buf + i, '\r', (size_t)(stop - i)))
+                s->seen_cr = 1;
+            s->cur_len += stop - i;
+        }
+        if (!nl) break;
+        scan_line_done(s);
+        i = stop + 1;
+    }
+}
+
+// Fill out[0..24) with the region summary:
+//  [0] n_nl  [1] head_len  [2] head_first  [3] tail_len  [4] tail_first
+//  [5] seen_cr  [6..9] ok[h]  [10..13] first_lens  [14..17] first_bytes
+//  [18..21] last 4 complete line lens (oldest first)  [22] n_first
+//  [23] n_lines_done
+void fq_scan_finish(void* ctx, int64_t* out, uint8_t* last4_bytes) {
+    line_scan_t* s = (line_scan_t*)ctx;
+    out[0] = s->n_nl;
+    out[1] = s->n_nl == 0 ? s->cur_len : s->head_len;
+    out[2] = s->n_nl == 0 ? s->cur_first : s->head_first;
+    out[3] = s->cur_len;     // trailing partial (0 if region ends at '\n')
+    out[4] = s->cur_first;
+    out[5] = s->seen_cr;
+    for (int h = 0; h < 4; ++h) out[6 + h] = s->ok[h];
+    for (int k = 0; k < 4; ++k) {
+        out[10 + k] = k < s->n_first ? s->first_lens[k] : -1;
+        out[14 + k] = k < s->n_first ? s->first_bytes[k] : 0;
+    }
+    const int64_t nd = s->n_lines_done;
+    for (int k = 0; k < 4; ++k) {
+        // oldest-first of the last min(4, nd) complete lines
+        int64_t cnt = nd < 4 ? nd : 4;
+        if (k < cnt) {
+            int64_t idx = (nd - cnt + k) & 3;
+            out[18 + k] = s->last_lens[idx];
+            last4_bytes[k] = s->last_bytes[idx];
+        } else {
+            out[18 + k] = -1;
+            last4_bytes[k] = 0;
+        }
+    }
+    out[22] = s->n_first;
+    out[23] = nd;
+}
+
+void fq_scan_free(void* ctx) { free(ctx); }
+
+// Skip up to k '\n' bytes in buf; returns bytes consumed, sets *skipped.
+int64_t fq_skip_newlines(const uint8_t* buf, int64_t len, int64_t k,
+                         int64_t* skipped) {
+    int64_t i = 0, done = 0;
+    while (done < k) {
+        const uint8_t* nl = (const uint8_t*)memchr(buf + i, '\n',
+                                                   (size_t)(len - i));
+        if (!nl) { i = len; break; }
+        i = (nl - buf) + 1;
+        ++done;
+    }
+    *skipped = done;
+    return i;
+}
+
+// Single-member-bounded inflate: like gz_inflate but STOPS at each gzip
+// member end instead of resetting, so the caller can track member
+// boundaries (state 2 = member end, input may remain; call
+// gz_inflate_reset before continuing).  Used by the parallel-ingest region
+// scan to verify a region ends exactly on a member boundary.
+int64_t gz_inflate_member(void* ctx, const uint8_t* in, int64_t in_len,
+                          uint8_t* out, int64_t out_cap,
+                          int64_t* in_used, int32_t* state) {
+    z_stream* zs = (z_stream*)ctx;
+    zs->next_in = (Bytef*)in;
+    zs->avail_in = (uInt)in_len;
+    zs->next_out = out;
+    zs->avail_out = (uInt)out_cap;
+    *state = 0;
+    while (zs->avail_out > 0) {
+        int rc = inflate(zs, Z_NO_FLUSH);
+        if (rc == Z_STREAM_END) { *state = 2; break; }
+        if (rc == Z_OK || rc == Z_BUF_ERROR) {
+            if (zs->avail_in == 0) break;
+            if (rc == Z_BUF_ERROR && zs->avail_out == 0) break;
+            if (rc == Z_BUF_ERROR) { *state = -1; break; }
+            continue;
+        }
+        *state = -1;
+        break;
+    }
+    *in_used = in_len - (int64_t)zs->avail_in;
+    return out_cap - (int64_t)zs->avail_out;
+}
+
+int32_t gz_inflate_reset(void* ctx) {
+    return inflateReset((z_stream*)ctx) == Z_OK ? 0 : -1;
+}
+
 }  // extern "C"

@@ -235,8 +235,12 @@ class PairEndRunner:
             raise OptionError("split output is not supported in multi-host runs")
         maybe_enable_sharding(pe_pipeline_call, pe_packed_call,
                               pe_packed5_call)
-        streams = [("out1", opt.out1 if opt.out1 and opt.out2 else None),
-                   ("out2", opt.out2 if opt.out1 and opt.out2 else None),
+        # out1's stream exists whenever -o is given (an empty file when -O is
+        # missing, peprocessor.cpp:54-61); pair routing still needs BOTH
+        # (peprocessor.cpp:469-475)
+        route_pairs = bool(opt.out1 and opt.out2)
+        streams = [("out1", opt.out1),
+                   ("out2", opt.out2 if route_pairs else None),
                    ("unpaired1", opt.unpaired1),
                    ("unpaired2", opt.unpaired2
                     if opt.unpaired2 and opt.unpaired2 != opt.unpaired1 else None),
@@ -256,6 +260,8 @@ class PairEndRunner:
                                   has_unpaired1=opt.unpaired1 != "",
                                   want_failed=opt.failed_out != "")
             for name, w in writers.items():
+                if name in ("out1", "out2") and not route_pairs:
+                    continue
                 w.write(gidx, r[name])
         for w in writers.values():
             w.close()

@@ -148,3 +148,76 @@ def test_multihost_pe_full(tmp_path):
     _run_multihost(argv, tmp_path / "mh2", 2)
     _assert_equal_outputs(tmp_path / "single", tmp_path / "mh2",
                           ("out1.fq.gz", "out2.fq.gz", "up1.fq.gz", "up2.fq.gz"))
+
+
+def _replicate(src: Path, dst: Path, n: int) -> None:
+    data = src.read_bytes()
+    with open(dst, "wb") as f:
+        for _ in range(n):
+            f.write(data)  # concatenated gzip members form one valid stream
+
+
+def _gunzip_to(src: Path, dst: Path, n: int = 1) -> None:
+    import gzip
+    data = gzip.decompress(src.read_bytes())
+    with open(dst, "wb") as f:
+        for _ in range(n):
+            f.write(data)
+
+
+@pytest.mark.parametrize("nprocs", [2, 4])
+def test_multihost_parallel_ingest_se_gz(tmp_path, nprocs):
+    """Multi-member gzip SE input takes the parallel-ingest plan (each rank
+    scans only its member range); outputs stay byte-identical to the
+    single-process run (dist/ingest.py)."""
+    _replicate(R1, tmp_path / "in8.fq.gz", 8)
+    argv = ["-i", str(tmp_path / "in8.fq.gz"), "-o", "out.fq.gz",
+            "-q", "-f", "3", "-t", "2", "-d",
+            "--failed_out", "failed.fq.gz"]
+    _run_single(argv, tmp_path / "single")
+    _run_multihost(argv, tmp_path / f"mh{nprocs}", nprocs)
+    _assert_equal_outputs(tmp_path / "single", tmp_path / f"mh{nprocs}",
+                          ("out.fq.gz", "failed.fq.gz"))
+
+
+def test_multihost_parallel_ingest_se_plain(tmp_path):
+    """Plain-text SE input splits at raw byte offsets -- no rank reads bytes
+    it does not own."""
+    _gunzip_to(R1, tmp_path / "in4.fq", 4)
+    argv = ["-i", str(tmp_path / "in4.fq"), "-o", "out.fq.gz", "-q"]
+    _run_single(argv, tmp_path / "single")
+    _run_multihost(argv, tmp_path / "mh3", 3)
+    _assert_equal_outputs(tmp_path / "single", tmp_path / "mh3",
+                          ("out.fq.gz",))
+
+
+def test_multihost_parallel_ingest_pe(tmp_path):
+    """Two-file PE over multi-member gzip with merge + correction."""
+    _replicate(R1, tmp_path / "p1.fq.gz", 4)
+    _replicate(R2, tmp_path / "p2.fq.gz", 4)
+    argv = ["-i", str(tmp_path / "p1.fq.gz"), "-I", str(tmp_path / "p2.fq.gz"),
+            "-o", "out1.fq.gz", "-O", "out2.fq.gz", "-m",
+            "--merge_output", "merged.fq.gz", "-c", "-d",
+            "--failed_out", "failed.fq.gz"]
+    _run_single(argv, tmp_path / "single")
+    _run_multihost(argv, tmp_path / "mh2", 2)
+    _assert_equal_outputs(tmp_path / "single", tmp_path / "mh2",
+                          ("merged.fq.gz", "failed.fq.gz"))
+
+
+def test_multihost_parallel_ingest_interleaved(tmp_path):
+    """Interleaved PE input under the plan: each rank parses only its owned
+    spans (round-3 parsed every pack on every rank)."""
+    import gzip
+    l1 = gzip.decompress(R1.read_bytes()).split(b"\n")
+    l2 = gzip.decompress(R2.read_bytes()).split(b"\n")
+    inter = []
+    for i in range(len(l1) // 4):
+        inter += l1[4 * i: 4 * i + 4] + l2[4 * i: 4 * i + 4]
+    (tmp_path / "inter.fq").write_bytes(b"\n".join(inter) + b"\n")
+    argv = ["-i", str(tmp_path / "inter.fq"), "--in_fq_interleaved",
+            "-o", "out1.fq.gz", "-q"]
+    _run_single(argv, tmp_path / "single")
+    _run_multihost(argv, tmp_path / "mh2", 2)
+    _assert_equal_outputs(tmp_path / "single", tmp_path / "mh2",
+                          ("out1.fq.gz",))
