@@ -55,6 +55,11 @@ def evaluate_read_len(opt: Options) -> None:
 
 
 def compute_read_len(filename: str) -> int:
+    from ..io import headcache
+
+    cache = headcache.get(filename)
+    if cache is not None:
+        return cache.read_len(1000)
     seq_len = 0
     for i, (_, seq, _, _) in enumerate(iter_records(filename)):
         if i >= 1000:
@@ -227,22 +232,29 @@ def compute_over_rep_seq(filename: str) -> Dict[str, int]:
     np.unique for the counts, and exact substring extraction only for the
     few hash groups above threshold.
     """
+    from ..io import headcache
+
     BASE_LIMIT = 151 * 10000
     steps = sorted({10, 20, 40, 100, min(150, 151 - 2)})
-    bases = 0
-    seqs: List[bytes] = []
-    for name, seq, strand, qual in iter_records(filename):
-        if bases >= BASE_LIMIT:
-            break
-        seqs.append(seq)
-        bases += len(seq)
-    if not seqs:
+    cache = headcache.get(filename)
+    if cache is not None:
+        flat, lens = cache.seq_prefix(BASE_LIMIT)
+    else:
+        bases = 0
+        seqs: List[bytes] = []
+        for name, seq, strand, qual in iter_records(filename):
+            if bases >= BASE_LIMIT:
+                break
+            seqs.append(seq)
+            bases += len(seq)
+        flat = np.frombuffer(b"".join(seqs), np.uint8)
+        lens = np.fromiter((len(s) for s in seqs), count=len(seqs),
+                           dtype=np.int64)
+    if len(lens) == 0:
         return {}
 
-    flat = np.frombuffer(b"".join(seqs), np.uint8)
     n = len(flat)
-    lens = np.fromiter((len(s) for s in seqs), count=len(seqs), dtype=np.int64)
-    starts = np.zeros(len(seqs), np.int64)
+    starts = np.zeros(len(lens), np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
 
     # native scan: rolling hashes + sort in C (fastq_core.cpp fq_ors_scan),
@@ -257,7 +269,7 @@ def compute_over_rep_seq(filename: str) -> Dict[str, int]:
                 hot[s] = int(c)
         return _filter_substrings(hot)
 
-    read_of_pos = np.repeat(np.arange(len(seqs)), lens)
+    read_of_pos = np.repeat(np.arange(len(lens)), lens)
     ctx = _hash_ctx(flat)
     hot: Dict[str, int] = {}
     for step in steps:
@@ -446,7 +458,12 @@ def _load_record_matrix(filename: str, read_limit: int,
     [N, W] uint8 matrix + lens -- the whole detection pipeline stays in
     matrix space (per-record Python strings were the startup bottleneck
     for large detection scans)."""
+    from ..io import headcache
     from ..io.fastq import PackReader
+
+    cache = headcache.get(filename)
+    if cache is not None:
+        return cache.matrix(read_limit, base_limit)
 
     reader = PackReader(filename, pack_reads=min(read_limit, 65536))
     mats: List[np.ndarray] = []

@@ -509,7 +509,13 @@ def iter_packs_paired(path1: str, path2: str, interleaved: bool = False,
                 rd.close()
         return prefetch_iter(gen(), depth=2)
 
-    it1, it2 = packs_of(rd1), packs_of(rd2)
+    yield from zip_pack_iters(packs_of(rd1), packs_of(rd2))
+
+
+def zip_pack_iters(it1, it2) -> Iterator[Tuple[ReadPack, ReadPack]]:
+    """Pair two pack streams with the shorter-stream stop + truncation
+    semantics of :func:`iter_packs_paired` (shared with the head-cache
+    resume path, io/headcache.py)."""
     try:
         while True:
             p1 = next(it1, None)

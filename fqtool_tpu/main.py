@@ -103,7 +103,48 @@ def run(opt: Options) -> None:
         _run(opt)
 
 
+def _activate_headcache(opt: Options) -> None:
+    """Open one pack reader per input and cache the head packs the
+    evaluation pre-passes consume, framed exactly as the main pass will
+    read them -- the main runner then drains the cache and continues the
+    same reader, so every input byte is inflated and tokenized once
+    (io/headcache.py; beats the reference's 4-5 head re-scans,
+    src/main.cpp:128-143).
+
+    Skipped for multi-host runs (inputs go through the region planner,
+    dist/ingest.py) and interleaved PE (record-framed, not pack-framed).
+    """
+    if os.environ.get("FQTOOL_TPU_HEADCACHE", "1") != "1":
+        return
+    from .dist import multihost
+    if multihost.active() is not None:
+        return
+    if opt.interleaved_input:
+        return
+    from .io import headcache
+    if opt.is_paired():
+        from .pipeline.pe_runner import main_pack_reads
+    else:
+        from .pipeline.runner import main_pack_reads
+    pack_reads = main_pack_reads(opt)
+    headcache.activate(opt.in1, pack_reads, opt.phred64)
+    if opt.in2:
+        headcache.activate(opt.in2, pack_reads, opt.phred64)
+
+
 def _run(opt: Options) -> None:
+    from .io import headcache
+    try:
+        _activate_headcache(opt)
+        _run_inner(opt)
+    finally:
+        # drop any cache a pipeline did not drain (framing mismatch, error
+        # unwind): a stale entry would alias a reused path in a later
+        # in-process run
+        headcache.discard_all()
+
+
+def _run_inner(opt: Options) -> None:
 
     # evaluation pre-passes (main.cpp:128-143).  The read-number estimate
     # scans up to 512Ki records but is consumed only by -s split sizing

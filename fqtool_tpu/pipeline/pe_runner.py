@@ -22,8 +22,7 @@ from ..host.filterresult import FilterResultAccumulator
 from ..host.stats import StatsAccumulator
 from ..host.tracing import stage
 from ..host.umi import process_umi
-from ..io.fastq import (AsyncWriter, ReadPack,
-                        iter_packs_paired, prefetch_iter)
+from ..io.fastq import AsyncWriter, ReadPack, prefetch_iter
 from ..ops.filters import PASS_FILTER
 from ..io.fastq import format_array_records, format_plane_array_records
 from .pe import pe_packed5_call, pe_packed_call, pe_pipeline_call
@@ -37,6 +36,19 @@ _PAIRED_OFF = len(_TAG_BUF)
 _PAIRED_LEN = len(b"paired_read_is_failing")
 
 PE_CHUNK = int(os.environ.get("FQTOOL_TPU_PE_CHUNK", "16384"))
+
+
+def main_pack_reads(opt) -> int:
+    """Main-pass pack framing for PE runs: several device chunks per pack
+    when split is off -- all chunks of a pack are dispatched asynchronously
+    before the first result is fetched, so the device computes chunk k+1
+    while the host fetches and folds chunk k (same intra-pack pattern as the
+    SE runner).  Shared with main.py's head-cache activation so the pre-pass
+    reader and the main pass agree on framing (io/headcache.py)."""
+    pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_PE_PACK_CHUNKS", "2")))
+    return (opt.buf_size.max_reads_in_pack if opt.split.enabled
+            else min(opt.buf_size.max_reads_in_pack,
+                     PE_CHUNK * pack_chunks))
 
 
 
@@ -157,14 +169,7 @@ class PairEndRunner:
                     if opt.merge_pe.enabled and opt.merge_pe.out else None)
         w_failed = AsyncWriter(opt.failed_out, opt.compression) if opt.failed_out else None
 
-        # several device chunks per pack when split is off: all chunks of a
-        # pack are dispatched asynchronously before the first result is
-        # fetched, so the device computes chunk k+1 while the host fetches and
-        # folds chunk k (same intra-pack pattern as the SE runner)
-        pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_PE_PACK_CHUNKS", "2")))
-        pack_reads = (opt.buf_size.max_reads_in_pack if opt.split.enabled
-                      else min(opt.buf_size.max_reads_in_pack,
-                               PE_CHUNK * pack_chunks))
+        pack_reads = main_pack_reads(opt)
         total = 0
 
         def emit(submitted):
@@ -198,7 +203,8 @@ class PairEndRunner:
         # some remote attachments deadlock with two program batches in flight)
         overlap = os.environ.get("FQTOOL_TPU_PACK_OVERLAP", "0") == "1"
         in_flight = None
-        it = prefetch_iter(encode_packs(iter_packs_paired(
+        from ..io.headcache import iter_packs_paired_cached
+        it = prefetch_iter(encode_packs(iter_packs_paired_cached(
             opt.in1, opt.in2, opt.interleaved_input,
             pack_reads, opt.phred64)))
         while True:

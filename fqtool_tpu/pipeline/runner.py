@@ -27,7 +27,7 @@ from ..host.stats import StatsAccumulator
 from ..host.tracing import device_profile, stage
 from ..host.umi import process_umi
 from ..io.fastq import (AsyncWriter, OutputWriter, ReadPack, format_selected,
-                        iter_packs, prefetch_iter)
+                        prefetch_iter)
 from ..ops.filters import FAILED_TYPES
 from .se import (se_packed5_call, se_packed_call, se_pipeline,
                  se_pipeline_call)
@@ -137,6 +137,26 @@ def drain_pipelined(pending):
 # especially with a remote-compile TPU attachment.
 SE_CHUNK = int(os.environ.get("FQTOOL_TPU_SE_CHUNK", "65536"))
 _BUCKETS = (256, 2048, 8192)
+
+
+def main_pack_reads(opt) -> int:
+    """Main-pass pack framing for SE runs.
+
+    Pack size only affects output content through split-file rotation
+    boundaries, so when split is off the pack is sized as a multiple of the
+    device chunk: every chunk runs full (no padded rows), and with
+    FQTOOL_TPU_SE_PACK_CHUNKS>1 the device computes chunk k+1 while the host
+    fetches/folds chunk k.  65536x2 measured best on the remote attachment
+    (2.36s vs 3.89s for 131072x1 on 400k reads) -- two pipeline slots per
+    pack amortize the per-fetch latency; on very high-latency links fewer,
+    larger fetches may win (env-tunable).
+
+    Shared with main.py's head-cache activation so the pre-pass reader and
+    the main pass agree on framing (io/headcache.py).
+    """
+    pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_SE_PACK_CHUNKS", "2")))
+    return (opt.buf_size.max_reads_in_pack if opt.split.enabled
+            else SE_CHUNK * pack_chunks)
 
 
 def chunk_rows(pack_total: int, cap: int) -> int:
@@ -335,17 +355,7 @@ class SingleEndRunner:
         failed_writer = (AsyncWriter(opt.failed_out, opt.compression)
                          if opt.failed_out else None)
 
-        # pack size only affects output content through split-file rotation
-        # boundaries, so when split is off the pack is sized as a multiple of
-        # the device chunk: every chunk runs full (no padded rows), and with
-        # FQTOOL_TPU_SE_PACK_CHUNKS>1 the device computes chunk k+1 while the
-        # host fetches/folds chunk k.  65536x2 measured best on the remote
-        # attachment (2.36s vs 3.89s for 131072x1 on 400k reads) -- two
-        # pipeline slots per pack amortize the per-fetch latency; on very
-        # high-latency links fewer, larger fetches may win (env-tunable).
-        pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_SE_PACK_CHUNKS", "2")))
-        pack_reads = (opt.buf_size.max_reads_in_pack if opt.split.enabled
-                      else SE_CHUNK * pack_chunks)
+        pack_reads = main_pack_reads(opt)
         total = 0
 
         def emit(pack):
@@ -433,8 +443,9 @@ class SingleEndRunner:
         # host.  Intra-pack chunk dispatch is still asynchronous either way.
         overlap = os.environ.get("FQTOOL_TPU_PACK_OVERLAP", "0") == "1"
         in_flight = None
+        from ..io.headcache import iter_packs_cached
         it = prefetch_iter(encode_packs(
-            iter_packs(opt.in1, pack_reads, opt.phred64)))
+            iter_packs_cached(opt.in1, pack_reads, opt.phred64)))
         while True:
             with stage("input_wait"):
                 pack = next(it, None)
