@@ -121,16 +121,54 @@ def _plain_boundaries(path: str, world: int) -> List[int]:
 # count pass
 # ---------------------------------------------------------------------------
 
-def _scan_region(path: str, gz: bool, lo: int, hi: int) -> dict:
+_SPOOL_CAP = int(os.environ.get("FQTOOL_TPU_INGEST_SPOOL_CAP",
+                                str(4 << 30)))
+
+
+def _scan_region(path: str, gz: bool, lo: int, hi: int,
+                 spool_dir: Optional[str] = None) -> dict:
     """Scan region bytes [lo, hi) with the native line scanner.  For gzip the
     region must start at a member boundary and end exactly on one (``clean``
-    in the result); the member-stop inflater verifies that."""
+    in the result); the member-stop inflater verifies that.
+
+    For gzip regions the inflated bytes are also SPOOLED to a scratch file
+    (up to _SPOOL_CAP) so the materialize pass reads plain bytes instead of
+    inflating the region a second time; ``spool`` in the result names the
+    file (caller owns cleanup), None when spooling was disabled or overflowed
+    the cap."""
+    import tempfile
+
     res: dict
     sc = native.LineScanner(at_stream_start=(lo == 0))
     if lo >= hi:
         res = sc.finish()
         res["clean"] = True
+        res["spool"] = None
         return res
+    spool = None
+    spool_path = None
+    spooled = 0
+
+    def spool_write(data: bytes) -> None:
+        # spool failure (ENOSPC, cap overflow) only loses the optimization:
+        # the materializer falls back to re-inflating the region
+        nonlocal spool, spool_path, spooled
+        if spool is None or not data:
+            return
+        spooled += len(data)
+        try:
+            if spooled > _SPOOL_CAP:
+                raise OSError("spool cap")
+            spool.write(data)
+        except OSError:
+            try:
+                spool.close()
+            except OSError:
+                pass
+            os.unlink(spool_path)
+            spool = None
+            spool_path = None
+
     with open(path, "rb") as fh:
         fh.seek(lo)
         remaining = hi - lo
@@ -143,7 +181,16 @@ def _scan_region(path: str, gz: bool, lo: int, hi: int) -> dict:
                 sc.feed(data)
             res = sc.finish()
             res["clean"] = remaining == 0
+            res["spool"] = None
             return res
+        if spool_dir is not None and os.environ.get(
+                "FQTOOL_TPU_INGEST_SPOOL", "1") == "1":
+            try:
+                fd, spool_path = tempfile.mkstemp(
+                    prefix="fq_ingest_", suffix=".spool", dir=spool_dir)
+                spool = os.fdopen(fd, "wb", buffering=1 << 20)
+            except OSError:
+                spool = spool_path = None
         inf = native.MemberInflater()
         clean = True
         at_member_end = False
@@ -159,6 +206,7 @@ def _scan_region(path: str, gz: bool, lo: int, hi: int) -> dict:
                 out, member_end = inf.inflate(data, _INFLATE_CAP)
                 if out:
                     sc.feed(out)
+                    spool_write(out)
                 at_member_end = member_end
                 if member_end:
                     if inf.has_pending or remaining:
@@ -172,9 +220,25 @@ def _scan_region(path: str, gz: bool, lo: int, hi: int) -> dict:
             clean = False
         finally:
             inf.close()
+            if spool is not None:
+                try:
+                    spool.close()
+                except OSError:
+                    os.unlink(spool_path)
+                    spool_path = None
     res = sc.finish()
     res["clean"] = clean
+    res["spool"] = spool_path if clean else _drop_spool(spool_path)
     return res
+
+
+def _drop_spool(path: Optional[str]):
+    if path is not None:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -265,7 +329,8 @@ class Plan:
     def __init__(self, paths: List[str], gzs: List[bool],
                  bounds: List[List[int]], nl_prefix: List[List[int]],
                  pack_counts: List[int], owners: List[Tuple[int, int]],
-                 pack_records: int, rec_per_unit: int):
+                 pack_records: int, rec_per_unit: int,
+                 spools: Optional[List[Optional[str]]] = None):
         self.paths = paths
         self.gzs = gzs
         self.bounds = bounds            # per file: world+1 byte offsets
@@ -274,6 +339,9 @@ class Plan:
         self.owners = owners            # per rank: (p_lo, p_hi)
         self.pack_records = pack_records
         self.rec_per_unit = rec_per_unit
+        # per file: THIS rank's local scratch file of its region's inflated
+        # bytes (from the count pass), or None -> re-inflate from the source
+        self.spools = spools or [None] * len(paths)
 
 
 def build_plan(mh, paths: List[str], pack_records: int,
@@ -303,10 +371,20 @@ def build_plan(mh, paths: List[str], pack_records: int,
 
     scans: List[Optional[dict]] = []
     if capable:
+        spool_dir = os.environ.get("FQTOOL_TPU_INGEST_SPOOL_DIR") or None
+        if spool_dir is None:
+            # prefer RAM-backed scratch (no writeback stalls) when present
+            if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+                spool_dir = "/dev/shm"
+            else:
+                import tempfile
+                spool_dir = tempfile.gettempdir()
         for f, path in enumerate(paths):
             lo, hi = bounds[f][rank], bounds[f][rank + 1]
-            scans.append(_scan_region(path, gzs[f], lo, hi))
+            scans.append(_scan_region(path, gzs[f], lo, hi,
+                                      spool_dir=spool_dir))
 
+    spools = [s.get("spool") if s else None for s in scans]
     gathered = mh.gather(dict(capable=capable, scans=scans, bounds=bounds))
     if rank == 0:
         plan_msg = None
@@ -328,13 +406,19 @@ def build_plan(mh, paths: List[str], pack_records: int,
     else:
         plan_msg = mh.broadcast()
     if plan_msg is None:
+        for s in spools:
+            _drop_spool(s)
         return None
 
+    from ..host import tracing
+    tracing.mark("plan_done")
     nl_prefix = plan_msg["nl_prefix"]
     totals = plan_msg["totals"]
     lines_per_unit = 4 * rec_per_unit
     units = min(t // lines_per_unit for t in totals)
     if units <= 0:
+        for s in spools:
+            _drop_spool(s)
         return None
     npacks = -(-units // pack_records)
     pack_counts = [min(pack_records, units - p * pack_records)
@@ -353,7 +437,7 @@ def build_plan(mh, paths: List[str], pack_records: int,
         owners.append((p_lo, max(p_hi, p_lo)))
 
     return Plan(paths, gzs, bounds, nl_prefix, pack_counts, owners,
-                pack_records, rec_per_unit)
+                pack_records, rec_per_unit, spools=spools)
 
 
 # ---------------------------------------------------------------------------
@@ -362,14 +446,38 @@ def build_plan(mh, paths: List[str], pack_records: int,
 
 class _RegionByteStream:
     """Raw (inflated) byte stream starting at a region boundary and running
-    to end-of-file -- the final owned pack may spill past the region end."""
+    to end-of-file -- the final owned pack may spill past the region end.
 
-    def __init__(self, path: str, gz: bool, lo: int):
+    When the count pass spooled this rank's region (``spool``), the region's
+    bytes are read back from the plain scratch file (no second inflate);
+    the stream then continues from the NEXT region's start in the source
+    file for the spill tail."""
+
+    def __init__(self, path: str, gz: bool, lo: int,
+                 spool: Optional[str] = None, resume_at: int = 0):
+        self._spool_fh = None
+        self._spool_path = spool
+        if spool is not None:
+            try:
+                self._spool_fh = open(spool, "rb", buffering=1 << 20)
+            except OSError:
+                self._spool_fh = None
         self._fh = open(path, "rb", buffering=1 << 20)
-        self._fh.seek(lo)
+        self._fh.seek(lo if self._spool_fh is None else resume_at)
+        self._gz = gz
         self._inf = native.make_inflater() if gz else None
 
     def read_chunk(self) -> bytes:
+        if self._spool_fh is not None:
+            d = self._spool_fh.read(_READ_CHUNK)
+            if d:
+                return d
+            # spool drained: continue inflating the source from the next
+            # region start (a gzip member boundary) for the spill tail
+            self._spool_fh.close()
+            self._spool_fh = None
+            _drop_spool(self._spool_path)
+            self._spool_path = None
         if self._inf is None:
             return self._fh.read(_READ_CHUNK)
         out = []
@@ -388,6 +496,10 @@ class _RegionByteStream:
         return b"".join(out)
 
     def close(self) -> None:
+        if self._spool_fh is not None:
+            self._spool_fh.close()
+        _drop_spool(self._spool_path)
+        self._spool_path = None
         if self._inf is not None:
             self._inf.close()
         self._fh.close()
@@ -407,10 +519,14 @@ class _PackMaterializer:
         self._buf = bytearray()
         self._eof = False
         if p_lo >= p_hi:
+            _drop_spool(plan.spools[file_idx])
+            plan.spools[file_idx] = None
             return
         path = plan.paths[file_idx]
         lo = plan.bounds[file_idx][rank]
-        self._stream = _RegionByteStream(path, plan.gzs[file_idx], lo)
+        self._stream = _RegionByteStream(
+            path, plan.gzs[file_idx], lo, spool=plan.spools[file_idx],
+            resume_at=plan.bounds[file_idx][rank + 1])
         lines_per_unit = 4 * plan.rec_per_unit
         self._to_skip = (p_lo * plan.pack_records * lines_per_unit
                          - plan.nl_prefix[file_idx][rank])
@@ -466,29 +582,43 @@ class _PackMaterializer:
             self._stream = None
 
 
+def _batches(p_lo: int, p_hi: int, batch_units: int):
+    """Consecutive unit ranges [lo, hi) of up to ``batch_units`` units."""
+    lo = p_lo
+    while lo < p_hi:
+        hi = min(lo + max(1, batch_units), p_hi)
+        yield lo, hi
+        lo = hi
+
+
 def iter_planned_se(plan: Plan, rank: int, phred64: bool,
-                    width_multiple: int = 8) -> Iterator[Tuple[int, object]]:
+                    width_multiple: int = 8,
+                    batch_units: int = 1) -> Iterator[Tuple[int, object]]:
+    """Yield ``(unit_idx, pack)``; each pack covers up to ``batch_units``
+    consecutive owned write units (one full device batch), starting at global
+    unit ``unit_idx``."""
     m = _PackMaterializer(plan, 0, rank, phred64, width_multiple)
     try:
-        for p in range(m.p_lo, m.p_hi):
-            buf, spans = m.next_pack_spans(plan.pack_counts[p])
-            yield p, pack_from_spans(buf, spans, phred64, width_multiple)
+        for lo, hi in _batches(m.p_lo, m.p_hi, batch_units):
+            n = sum(plan.pack_counts[lo:hi])
+            buf, spans = m.next_pack_spans(n)
+            yield lo, pack_from_spans(buf, spans, phred64, width_multiple)
     finally:
         m.close()
 
 
 def iter_planned_pe(plan: Plan, rank: int, phred64: bool,
-                    width_multiple: int = 8):
-    """Two-file PE: pack p of each side pairs up by construction (both sides
+                    width_multiple: int = 8, batch_units: int = 1):
+    """Two-file PE: unit p of each side pairs up by construction (both sides
     are framed at the same global record boundaries)."""
     m1 = _PackMaterializer(plan, 0, rank, phred64, width_multiple)
     m2 = _PackMaterializer(plan, 1, rank, phred64, width_multiple)
     try:
-        for p in range(m1.p_lo, m1.p_hi):
-            n = plan.pack_counts[p]
+        for lo, hi in _batches(m1.p_lo, m1.p_hi, batch_units):
+            n = sum(plan.pack_counts[lo:hi])
             buf1, spans1 = m1.next_pack_spans(n)
             buf2, spans2 = m2.next_pack_spans(n)
-            yield (p, pack_from_spans(buf1, spans1, phred64, width_multiple),
+            yield (lo, pack_from_spans(buf1, spans1, phred64, width_multiple),
                    pack_from_spans(buf2, spans2, phred64, width_multiple))
     finally:
         m1.close()
@@ -496,13 +626,13 @@ def iter_planned_pe(plan: Plan, rank: int, phred64: bool,
 
 
 def iter_planned_interleaved(plan: Plan, rank: int, phred64: bool,
-                             width_multiple: int = 8):
-    """Interleaved PE: each pack covers 2*pack_records records of the single
+                             width_multiple: int = 8, batch_units: int = 1):
+    """Interleaved PE: each unit covers 2*pack_records records of the single
     stream; even records form side 1, odd records side 2."""
     m = _PackMaterializer(plan, 0, rank, phred64, width_multiple)
     try:
-        for p in range(m.p_lo, m.p_hi):
-            pairs = plan.pack_counts[p]
+        for lo, hi in _batches(m.p_lo, m.p_hi, batch_units):
+            pairs = sum(plan.pack_counts[lo:hi])
             buf, spans = m.next_pack_spans(2 * pairs)
             got = len(spans["seq_len"])
             even = {k: v[0:got:2] for k, v in spans.items()}
@@ -510,7 +640,7 @@ def iter_planned_interleaved(plan: Plan, rank: int, phred64: bool,
             n = min(len(even["seq_len"]), len(odd["seq_len"]))
             even = {k: v[:n] for k, v in even.items()}
             odd = {k: v[:n] for k, v in odd.items()}
-            yield (p, pack_from_spans(buf, even, phred64, width_multiple),
+            yield (lo, pack_from_spans(buf, even, phred64, width_multiple),
                    pack_from_spans(buf, odd, phred64, width_multiple))
     finally:
         m.close()

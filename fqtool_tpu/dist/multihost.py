@@ -9,15 +9,18 @@ shards the *pack stream* across host processes:
   device compute stays on the local mesh (ICI), and the only cross-host
   traffic is the end-of-stream statistics reduction (DCN-scale payloads:
   histograms and sparse duplication entries, a few MB at most).
-* Pack ``k`` is owned by rank ``k mod world``.  Every rank advances the input
-  stream (gzip cannot be random-accessed) but only tokenizes boundaries for
-  packs it does not own (``PackReader.next_pack(skip=True)``) -- no matrix
-  builds, no device work.
-* Each output stream is written as one per-host part file of pack-ordered
-  records plus a (pack index, ...) manifest.  For .gz outputs every rank
-  DEFLATES its own packs during the run with the exact block framing the
-  single-process OutputWriter uses (each pack write is a block boundary), so
-  rank 0 only concatenates compressed spans in global pack order and stamps
+* The input stream is split into WRITE-UNIT-sized ownership quanta
+  (pipeline/runner.py WRITE_UNIT, 16384 records): the parallel-ingest
+  planner (dist/ingest.py) assigns each rank a contiguous unit range and the
+  rank reads only ~1/world of each input's bytes; consecutive owned units
+  are batched back into full-size device packs.  (Fallback for inputs the
+  planner cannot prove strict: every rank advances the stream but
+  skip-tokenizes foreign units, ownership strided mod world.)
+* Each output stream is written as one per-host part file of unit-ordered
+  records plus a (unit index, ...) manifest.  For .gz outputs every rank
+  DEFLATES its own units during the run with the exact block framing the
+  single-process OutputWriter uses (each write-unit is a block boundary), so
+  rank 0 only concatenates compressed spans in global unit order and stamps
   the member trailer with a combined CRC -- the final bytes equal the
   single-process run exactly, with zero serial recompression (replacing the
   reference's mutex-serialized output ordering, seprocessor.cpp:356-380).
@@ -216,17 +219,26 @@ class MultihostContext:
     def owns(self, pack_idx: int) -> bool:
         return pack_idx % self.world == self.rank
 
-    def iter_owned_se(self, path: str, pack_reads: int,
-                      phred64: bool) -> Iterator[Tuple[int, object]]:
+    def iter_owned_se(self, path: str, unit_reads: int, phred64: bool,
+                      batch_units: int = 1) -> Iterator[Tuple[int, object]]:
+        """Yield ``(unit_idx, pack)`` covering this rank's owned write units.
+
+        ``unit_reads`` is the write-unit quantum (pipeline/runner.py
+        WRITE_UNIT) -- the ownership AND output-framing granularity; the
+        planned path materializes up to ``batch_units`` consecutive owned
+        units per yielded pack so device batches stay full-size."""
         from . import ingest
-        plan = ingest.build_plan(self, [path], pack_reads)
+        plan = ingest.build_plan(self, [path], unit_reads)
         if plan is not None:
-            yield from ingest.iter_planned_se(plan, self.rank, phred64)
+            yield from ingest.iter_planned_se(plan, self.rank, phred64,
+                                              batch_units=batch_units)
             return
         # fallback: serial scan with ownership skips (strict 4-line FASTQ
         # could not be proven -- CR line endings, blank lines, stdin, or an
-        # unsplittable gzip; semantics match the reference reader exactly)
-        rd = PackReader(path, pack_reads, phred64)
+        # unsplittable gzip; semantics match the reference reader exactly).
+        # Ownership is strided mod world, so units are yielded singly --
+        # device batches shrink to one unit (correctness path, not fast path)
+        rd = PackReader(path, unit_reads, phred64)
         gidx = 0
         while True:
             pack = rd.next_pack(skip=not self.owns(gidx))
@@ -237,25 +249,29 @@ class MultihostContext:
             gidx += 1
 
     def iter_owned_pe(self, path1: str, path2: str, interleaved: bool,
-                      pack_reads: int, phred64: bool):
+                      unit_reads: int, phred64: bool, batch_units: int = 1):
+        """PE analog of :meth:`iter_owned_se`: yields
+        ``(unit_idx, pack1, pack2)`` at write-unit ownership granularity,
+        batching consecutive owned units on the planned path."""
         from . import ingest
         if interleaved:
-            plan = ingest.build_plan(self, [path1], pack_reads,
+            plan = ingest.build_plan(self, [path1], unit_reads,
                                      rec_per_unit=2)
             if plan is not None:
                 yield from ingest.iter_planned_interleaved(
-                    plan, self.rank, phred64)
+                    plan, self.rank, phred64, batch_units=batch_units)
                 return
         else:
-            plan = ingest.build_plan(self, [path1, path2], pack_reads)
+            plan = ingest.build_plan(self, [path1, path2], unit_reads)
             if plan is not None:
-                yield from ingest.iter_planned_pe(plan, self.rank, phred64)
+                yield from ingest.iter_planned_pe(
+                    plan, self.rank, phred64, batch_units=batch_units)
                 return
         if interleaved:
             # interleaved input is one stream: every rank parses every pack
             # (no per-side skip path exists), ownership only filters -- the
             # input stage does not scale with hosts in this mode
-            it = iter_packs_paired(path1, path2, True, pack_reads, phred64)
+            it = iter_packs_paired(path1, path2, True, unit_reads, phred64)
             for gidx, (p1, p2) in enumerate(it):
                 if self.owns(gidx):
                     yield gidx, p1, p2
@@ -264,7 +280,7 @@ class MultihostContext:
         # gzip inflation + tokenization run in parallel (zlib releases the
         # GIL); ownership skips still avoid matrix builds for foreign packs
         def side(path):
-            rd = PackReader(path, pack_reads, phred64)
+            rd = PackReader(path, unit_reads, phred64)
 
             def gen():
                 g = 0
@@ -311,11 +327,11 @@ class MultihostContext:
 
     def merge_stream(self, final_path: str, compression: int,
                      indexes_by_rank: List[list]) -> None:
-        """Rank 0: concatenate all hosts' part files in global pack order --
-        final bytes identical to the single-process run.
+        """Rank 0: concatenate all hosts' part files in global write-unit
+        order -- final bytes identical to the single-process run.
 
-        For .gz streams the parts already hold each pack's deflate blocks in
-        the single-process framing (every pack write is a block boundary,
+        For .gz streams the parts already hold each unit's deflate blocks in
+        the single-process framing (every write-unit is a block boundary,
         io/fastq.py::OutputWriter.write), so the merge is pure byte copying
         plus one combined CRC -- the serial recompression tail the round-2
         design had is gone.  Raw streams concatenate as before."""

@@ -50,6 +50,22 @@ def reset() -> None:
     with _lock:
         _totals.clear()
         _counts.clear()
+        _marks.clear()
+
+
+_marks: Dict[str, float] = {}
+
+
+def mark(name: str) -> None:
+    """Record a wall-clock phase timestamp (multi-host phase attribution:
+    landed in the FQTOOL_TPU_TIMING_JSON file, main.py)."""
+    with _lock:
+        _marks[name] = time.time()
+
+
+def marks() -> Dict[str, float]:
+    with _lock:
+        return dict(_marks)
 
 
 def snapshot() -> Dict[str, Dict[str, float]]:

@@ -8,6 +8,7 @@ read number, split sizing, ORS, PE adapter detection) -> SE/PE processing.
 from __future__ import annotations
 
 import sys
+import time
 from typing import List, Optional
 
 import os
@@ -93,14 +94,31 @@ def run(opt: Options) -> None:
     from .dist import multihost
     multihost.active()
 
+    # steady-state timing probe (bench.py multihost scaling): wall-clock
+    # stamps around the streaming work -- run start (pre-passes + main pass
+    # + merge all inside) vs. interpreter/jax startup, which is constant in
+    # the input and in the world size
+    timing_path = os.environ.get("FQTOOL_TPU_TIMING_JSON")
+    t_run_begin = time.time()
+
     spooled = _spool_stdin(opt)
-    if spooled is not None:
-        try:
+    try:
+        if spooled is not None:
+            try:
+                _run(opt)
+            finally:
+                os.unlink(spooled)
+        else:
             _run(opt)
-        finally:
-            os.unlink(spooled)
-    else:
-        _run(opt)
+    finally:
+        if timing_path:
+            import json
+
+            from .host import tracing
+            with open(timing_path, "w") as f:
+                json.dump({"t_run_begin": t_run_begin,
+                           "t_done": time.time(),
+                           "marks": tracing.marks()}, f)
 
 
 def _activate_headcache(opt: Options) -> None:

@@ -13,6 +13,8 @@ bound the [B, offsets, L] working set of the all-offsets overlap analysis.
 from __future__ import annotations
 
 import os
+from typing import List, Optional, Tuple
+
 import numpy as np
 
 from ..config.options import Options
@@ -26,9 +28,9 @@ from ..io.fastq import AsyncWriter, ReadPack, prefetch_iter
 from ..ops.filters import PASS_FILTER
 from ..io.fastq import format_array_records, format_plane_array_records
 from .pe import pe_packed5_call, pe_packed_call, pe_pipeline_call
-from .runner import (SplitWriter, _TAG_BUF, _TAG_LEN, _TAG_OFF, chunk_rows,
-                     drain_pipelined, encode_packs, index_filter_matches,
-                     loginfo, maybe_enable_sharding)
+from .runner import (SplitWriter, _TAG_BUF, _TAG_LEN, _TAG_OFF, WRITE_UNIT,
+                     chunk_rows, drain_pipelined, encode_packs,
+                     index_filter_matches, loginfo, maybe_enable_sharding)
 
 # extended tag catalog: the fail-reason names plus the PE mate-fail tag
 _XTAG_BUF = _TAG_BUF + b"paired_read_is_failing"
@@ -49,6 +51,20 @@ def main_pack_reads(opt) -> int:
     return (opt.buf_size.max_reads_in_pack if opt.split.enabled
             else min(opt.buf_size.max_reads_in_pack,
                      PE_CHUNK * pack_chunks))
+
+
+def main_write_unit(opt) -> int:
+    """Pairs per write unit for PE runs (see pipeline/runner.py WRITE_UNIT).
+
+    PE output is formatted per device chunk, so the unit is the chunk size
+    when the pack framing and the chunk-size buckets align with it (the
+    grouping in complete_pack must never see a chunk straddling a unit
+    boundary); otherwise the whole pack.  Single-process and multi-host
+    compute this identically from opt, so their output framing agrees."""
+    pack_reads = main_pack_reads(opt)
+    if pack_reads % PE_CHUNK == 0 and PE_CHUNK % 8192 == 0:
+        return PE_CHUNK
+    return pack_reads
 
 
 
@@ -170,33 +186,45 @@ class PairEndRunner:
         w_failed = AsyncWriter(opt.failed_out, opt.compression) if opt.failed_out else None
 
         pack_reads = main_pack_reads(opt)
+        unit = main_write_unit(opt)
         total = 0
 
         def emit(submitted):
             nonlocal total
-            r = self.complete_pack(submitted,
-                                   has_unpaired1=w_unpaired1 is not None,
-                                   want_failed=w_failed is not None)
-            total += submitted[0].count
             if split is not None:
+                # split rotation consumes whole packs; its per-file framing
+                # never has to match a multi-host merge (rejected there)
+                r = self.complete_pack(submitted,
+                                       has_unpaired1=w_unpaired1 is not None,
+                                       want_failed=w_failed is not None)
+                total += submitted[0].count
                 split.write(r["out1"], r["out2"])
                 split.mark_processed(
                     r["read_passed"] if opt.split.by_file_lines
                     else submitted[0].count)
-            else:
-                # pair output requires BOTH writers (peprocessor.cpp:469-475):
-                # with only -o and no -O, passing pairs go nowhere
-                if w_out1 is not None and w_out2 is not None:
-                    w_out1.write(r["out1"])
-                    w_out2.write(r["out2"])
-            if w_unpaired1 is not None:
-                w_unpaired1.write(r["unpaired1"])
-            if w_unpaired2 is not None:
-                w_unpaired2.write(r["unpaired2"])
-            if w_merged is not None:
-                w_merged.write(r["merged"])
-            if w_failed is not None:
-                w_failed.write(r["failed"])
+                for w, k in ((w_unpaired1, "unpaired1"),
+                             (w_unpaired2, "unpaired2"),
+                             (w_merged, "merged"), (w_failed, "failed")):
+                    if w is not None:
+                        w.write(r[k])
+                return
+            r = self.complete_pack(submitted,
+                                   has_unpaired1=w_unpaired1 is not None,
+                                   want_failed=w_failed is not None,
+                                   unit_reads=unit)
+            total += submitted[0].count
+            # pair output requires BOTH writers (peprocessor.cpp:469-475):
+            # with only -o and no -O, passing pairs go nowhere
+            if w_out1 is not None and w_out2 is not None:
+                for s in r["out1"]:
+                    w_out1.write(s)
+                for s in r["out2"]:
+                    w_out2.write(s)
+            for w, k in ((w_unpaired1, "unpaired1"), (w_unpaired2, "unpaired2"),
+                         (w_merged, "merged"), (w_failed, "failed")):
+                if w is not None:
+                    for s in r[k]:
+                        w.write(s)
 
         # cross-pack overlap: pack k+1's chunks execute on the device while
         # the host fetches and folds pack k (same opt-in as the SE runner --
@@ -255,20 +283,23 @@ class PairEndRunner:
                    ("failed", opt.failed_out)]
         writers = {name: mh.part_writer(path, opt.compression)
                    for name, path in streams if path}
-        pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_PE_PACK_CHUNKS", "2")))
-        pack_reads = min(opt.buf_size.max_reads_in_pack, PE_CHUNK * pack_chunks)
-        for gidx, pack1, pack2 in prefetch_iter(encode_packs(mh.iter_owned_pe(
+        pack_reads = main_pack_reads(opt)
+        unit = main_write_unit(opt)
+        batch_units = max(1, pack_reads // unit)
+        for u_lo, pack1, pack2 in prefetch_iter(encode_packs(mh.iter_owned_pe(
                 opt.in1, opt.in2, opt.interleaved_input,
-                pack_reads, opt.phred64))):
-            self._pre_counter = gidx * pack_reads
-            self._record_base = gidx * pack_reads
-            r = self.process_pack(pack1, pack2,
-                                  has_unpaired1=opt.unpaired1 != "",
-                                  want_failed=opt.failed_out != "")
+                unit, opt.phred64, batch_units))):
+            self._pre_counter = u_lo * unit
+            self._record_base = u_lo * unit
+            r = self.complete_pack(self.submit_pack(pack1, pack2),
+                                   has_unpaired1=opt.unpaired1 != "",
+                                   want_failed=opt.failed_out != "",
+                                   unit_reads=unit)
             for name, w in writers.items():
                 if name in ("out1", "out2") and not route_pairs:
                     continue
-                w.write(gidx, r[name])
+                for j, s in enumerate(r[name]):
+                    w.write(u_lo + j, s)
         for w in writers.values():
             w.close()
         loginfo(f"PE processing finished (rank {mh.rank}/{mh.world})")
@@ -381,11 +412,21 @@ class PairEndRunner:
         return pack1, pack2, keep, start1, start2, pending
 
     def complete_pack(self, submitted, has_unpaired1: bool,
-                      want_failed: bool) -> dict:
+                      want_failed: bool,
+                      unit_reads: Optional[int] = None) -> dict:
+        """Drain a submitted pair pack and build its output strings.
+
+        ``unit_reads=None``: each stream is one byte string (the whole
+        pack).  With a unit size, each stream is a LIST of per-write-unit
+        byte strings (unit j = input rows [j*unit, (j+1)*unit) of the pack),
+        so single-process and multi-host gz framing agree (see
+        pipeline/runner.py WRITE_UNIT).  Device chunks never straddle a unit
+        boundary: the locked chunk size is <= PE_CHUNK and unit_reads is
+        either a PE_CHUNK multiple or the whole pack."""
         pack1, pack2, keep, start1, start2, pending = submitted
         opt = self.opt
-        parts: dict = {k: [] for k in
-                       ("out1", "out2", "unpaired1", "unpaired2", "merged", "failed")}
+        streams = ("out1", "out2", "unpaired1", "unpaired2", "merged", "failed")
+        chunks: List[Tuple[int, dict]] = []  # (row lo, per-stream segments)
         read_passed = 0
         merged_count = 0
         drain = drain_pipelined(pending)
@@ -395,17 +436,33 @@ class PairEndRunner:
             if item is None:
                 break
             lo, n, out = item
+            parts: dict = {k: [] for k in streams}
             with stage("pe_fold"):
                 rp, mc = self._fold_chunk(out, pack1, pack2, lo, n, keep, start1, start2,
                                       parts, has_unpaired1, want_failed)
+            chunks.append((lo, parts))
             read_passed += rp
             merged_count += mc
 
         if opt.merge_pe.enabled:
             self.filter_result.add_merged_pairs(merged_count)
-        return {k: b"".join(x.result() if hasattr(x, "result") else x
-                            for x in v)
-                for k, v in parts.items()} | {"read_passed": read_passed}
+
+        def join(segs) -> bytes:
+            return b"".join(x.result() if hasattr(x, "result") else x
+                            for x in segs)
+
+        if unit_reads is None:
+            r = {k: join(s for _, parts in chunks for s in parts[k])
+                 for k in streams}
+        else:
+            n_units = max(1, -(-pack1.count // unit_reads))
+            r = {}
+            for k in streams:
+                units = [[] for _ in range(n_units)]
+                for lo, parts in chunks:
+                    units[lo // unit_reads].extend(parts[k])
+                r[k] = [join(u) for u in units]
+        return r | {"read_passed": read_passed}
 
     # ------------------------------------------------------------------
     def _fold_chunk(self, out, pack1, pack2, lo, n, keep, start1, start2,

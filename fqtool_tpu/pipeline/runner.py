@@ -159,6 +159,32 @@ def main_pack_reads(opt) -> int:
             else SE_CHUNK * pack_chunks)
 
 
+# Write unit: the fixed input-record quantum at which output streams are
+# deflate-framed (every unit is an independent run of deflate blocks,
+# io/fastq.py::OutputWriter.write).  Framing at a sub-pack quantum instead of
+# the device pack makes the gz bytes identical between single-process runs
+# and ANY multi-host world size, while letting pack ownership balance at
+# ~1.6% instead of the 33% a 131072-read pack quantum gave at 13 packs over
+# 4 ranks (the round-3 multi-host scaling tail).
+WRITE_UNIT = int(os.environ.get("FQTOOL_TPU_WRITE_UNIT", "16384"))
+
+
+def main_write_unit(opt) -> int:
+    """Records per write unit for SE runs: WRITE_UNIT when the pack framing
+    is unit-aligned, else the whole pack (single-process and multi-host
+    compute this identically from opt, so their output framing agrees)."""
+    pack_reads = main_pack_reads(opt)
+    return WRITE_UNIT if pack_reads % WRITE_UNIT == 0 else pack_reads
+
+
+def unit_bounds_for(count: int, unit: int) -> List[int]:
+    """Row offsets [0, unit, 2*unit, ..., count] splitting a pack whose first
+    row sits on a global unit boundary."""
+    bounds = list(range(0, count, unit))
+    bounds.append(count)
+    return bounds
+
+
 def chunk_rows(pack_total: int, cap: int) -> int:
     """Device batch size for a pack of ``pack_total`` rows.
 
@@ -356,20 +382,31 @@ class SingleEndRunner:
                          if opt.failed_out else None)
 
         pack_reads = main_pack_reads(opt)
+        unit = main_write_unit(opt)
         total = 0
 
         def emit(pack):
             nonlocal total
-            outstr, failedstr, read_passed = self.complete_pack(pack)
-            total += pack[0].count
             if split is not None:
+                # split rotation consumes whole packs; its per-file framing
+                # never has to match a multi-host merge (rejected there)
+                outstr, failedstr, read_passed = self.complete_pack(pack)
+                total += pack[0].count
                 split.write(outstr)
                 split.mark_processed(read_passed if opt.split.by_file_lines
                                      else pack[0].count)
-            elif out_writer is not None:
-                out_writer.write(outstr)
+                if failed_writer is not None:
+                    failed_writer.write(failedstr)
+                return
+            bounds = unit_bounds_for(pack[0].count, unit)
+            outstrs, failedstrs, _ = self.complete_pack(pack, bounds)
+            total += pack[0].count
+            if out_writer is not None:
+                for s in outstrs:
+                    out_writer.write(s)
             if failed_writer is not None:
-                failed_writer.write(failedstr)
+                for s in failedstrs:
+                    failed_writer.write(s)
 
         with device_profile():
             self._run_loop(opt, split, out_writer, failed_writer, emit, pack_reads)
@@ -399,29 +436,36 @@ class SingleEndRunner:
             writers["out1"] = mh.part_writer(opt.out1, opt.compression)
         if opt.failed_out:
             writers["failed"] = mh.part_writer(opt.failed_out, opt.compression)
-        pack_chunks = max(1, int(os.environ.get("FQTOOL_TPU_SE_PACK_CHUNKS", "2")))
-        pack_reads = SE_CHUNK * pack_chunks
-        for gidx, pack in prefetch_iter(encode_packs(
-                mh.iter_owned_se(opt.in1, pack_reads, opt.phred64))):
-            # ORA pre-sampling strides over the GLOBAL stream order; packs are
-            # fixed-size so the base index is pack_idx * pack_reads.  (Post
+        pack_reads = main_pack_reads(opt)
+        unit = main_write_unit(opt)
+        batch_units = max(1, pack_reads // unit)
+        for u_lo, pack in prefetch_iter(encode_packs(
+                mh.iter_owned_se(opt.in1, unit, opt.phred64, batch_units))):
+            # ORA pre-sampling strides over the GLOBAL stream order; units
+            # are fixed-size so the base index is unit_idx * unit.  (Post
             # sampling stays per-host, the analog of the reference's
             # per-thread sampling under -w > 1.)
-            self._pre_counter = gidx * pack_reads
-            self._record_base = gidx * pack_reads
-            outstr, failedstr, _ = self.complete_pack(self.submit_pack(pack))
-            if "out1" in writers:
-                writers["out1"].write(gidx, outstr)
-            if "failed" in writers:
-                writers["failed"].write(gidx, failedstr)
+            self._pre_counter = u_lo * unit
+            self._record_base = u_lo * unit
+            bounds = unit_bounds_for(pack.count, unit)
+            outstrs, failedstrs, _ = self.complete_pack(
+                self.submit_pack(pack), bounds)
+            for j, (s, f) in enumerate(zip(outstrs, failedstrs)):
+                if "out1" in writers:
+                    writers["out1"].write(u_lo + j, s)
+                if "failed" in writers:
+                    writers["failed"].write(u_lo + j, f)
         for w in writers.values():
             w.close()
         loginfo(f"SE processing finished (rank {mh.rank}/{mh.world})")
+        from ..host import tracing
+        tracing.mark("stream_done")
         payload = dict(
             pre=self.pre_stats, post=self.post_stats, fr=self.filter_result,
             dup=None if self.dup is None else self.dup.payload(),
             idx={name: w.index for name, w in writers.items()})
         gathered = mh.gather(payload)
+        tracing.mark("gather_done")
         if mh.rank == 0:
             for pl in gathered[1:]:
                 self.pre_stats.merge(pl["pre"])
@@ -432,6 +476,7 @@ class SingleEndRunner:
             for name, w in writers.items():
                 mh.merge_stream(w.final_path, opt.compression,
                                 [pl["idx"].get(name, []) for pl in gathered])
+            tracing.mark("merge_done")
             with stage("reports"):
                 self.write_reports()
         mh.barrier()
@@ -554,7 +599,14 @@ class SingleEndRunner:
         """Synchronous submit + complete (used by tests and simple callers)."""
         return self.complete_pack(self.submit_pack(pack))
 
-    def complete_pack(self, submitted):
+    def complete_pack(self, submitted, unit_bounds: Optional[List[int]] = None):
+        """Drain a submitted pack and build its output strings.
+
+        ``unit_bounds=None``: outstr/failedstr are single byte strings (the
+        whole pack).  With bounds (row offsets, see :func:`unit_bounds_for`)
+        they are per-write-unit LISTS -- each unit's bytes are written as an
+        independent deflate framing so single-process and multi-host output
+        bytes agree (see WRITE_UNIT)."""
         pack, start0, keep, pending = submitted
         opt = self.opt
         B = pack.count
@@ -605,8 +657,19 @@ class SingleEndRunner:
 
         # output strings ------------------------------------------------
         select_pass = passed & keep
-        outstr = format_selected(pack, select_pass, front, rlen)
         read_passed = int(select_pass.sum())
+
+        def per_unit(select, *fmt_args, **fmt_kw):
+            if unit_bounds is None:
+                return format_selected(pack, select, *fmt_args, **fmt_kw)
+            units = []
+            for lo, hi in zip(unit_bounds, unit_bounds[1:]):
+                m = np.zeros_like(select)
+                m[lo:hi] = select[lo:hi]
+                units.append(format_selected(pack, m, *fmt_args, **fmt_kw))
+            return units
+
+        outstr = per_unit(select_pass, front, rlen)
 
         if opt.over_rep.enabled:
             sampling = opt.over_rep.sampling
@@ -617,7 +680,8 @@ class SingleEndRunner:
                 self.post_stats.add_over_rep_read(pack.seq[i, s : s + n].tobytes())
             self._post_counter += len(passing)
 
-        failedstr = b""
+        failedstr = b"" if unit_bounds is None else \
+            [b""] * (len(unit_bounds) - 1)
         if opt.failed_out:
             # the reference trims reads IN PLACE (trimAndCut returns the same
             # object, filter.cpp:186-188), so the failed stream carries the
@@ -628,8 +692,8 @@ class SingleEndRunner:
             f_start = np.where(dropped, start0, front).astype(np.int32)
             f_len = np.where(dropped, np.asarray(pack.lens) - start0,
                              rlen).astype(np.int32)
-            failedstr = format_selected(pack, select_fail, f_start, f_len,
-                                        tags=failed_tags(result))
+            failedstr = per_unit(select_fail, f_start, f_len,
+                                 tags=failed_tags(result))
         return outstr, failedstr, read_passed
 
     # ------------------------------------------------------------------
