@@ -76,6 +76,61 @@ def replicate(src: str, dst: str, n: int) -> None:
             out.write(data)  # concatenated gzip members form one valid stream
 
 
+def ensure_oracle() -> str:
+    """Path to the compiled reference binary, building it from
+    /root/reference/src if absent (VERDICT round-3 item 4: the fair baseline
+    must be measured in the SAME session as our numbers, not carried over
+    from a differently-sized container).  Returns '' when neither the binary
+    nor the reference sources are available."""
+    import subprocess
+
+    path = os.path.join(REPO, "build", "fqtool_oracle")
+    if os.path.isfile(path) and os.access(path, os.X_OK):
+        return path
+    src = "/root/reference/src"
+    if not os.path.isdir(src):
+        return ""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import glob as _glob
+    cmd = ["g++", "-std=c++11", "-O2", "-w", "-I", src] + \
+        sorted(_glob.glob(f"{src}/*.cpp")) + ["-o", path, "-lz", "-pthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except Exception:
+        return ""
+    return path
+
+
+def oracle_fair_rate(oracle: str, workdir: str, paired: bool, name: str,
+                     n_records: int, argv: List[str], reps: int) -> float:
+    """Reads/s of the reference binary on the SAME inputs with a full-core
+    worker pool (-w nproc) -- the honest baseline for this box.  Best of
+    ``reps`` walls."""
+    import subprocess
+
+    nproc = os.cpu_count() or 1
+    if paired:
+        io = ["-i", "pe1.fq.gz", "-I", "pe2.fq.gz",
+              "-o", "ro1.fq.gz", "-O", "ro2.fq.gz"]
+    elif name == "se_polygx":
+        io = ["-i", "polyg.fq", "-o", "ro.fq.gz"]
+    else:
+        io = ["-i", "se.fq.gz", "-o", "ro.fq.gz"]
+    argv = [(a.replace("merged", "rmerged") if "merged" in a else a)
+            for a in argv]
+    cmd = [oracle] + io + argv + ["-w", str(nproc),
+                                  "-J", "rref.json", "-H", "rref.html"]
+    best = float("inf")
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        r = subprocess.run(cmd, cwd=workdir, capture_output=True, timeout=900)
+        dt = time.perf_counter() - t0
+        if r.returncode != 0:
+            raise RuntimeError(f"oracle rc={r.returncode}: {r.stderr[-200:]}")
+        best = min(best, dt)
+    return round(n_records * (2 if paired else 1) / best, 1)
+
+
 def gen_polyg_input(dst: str, reps: int = 32) -> int:
     """Representative polyG/polyX input: every r1.fq.gz read (12,500 distinct
     sequences) truncated and given a varied-length polyG tail with occasional
@@ -356,6 +411,10 @@ def main() -> None:
     from fqtool_tpu.main import main as fq_main
 
     link_mbps = link_probe_mbps()
+    oracle_bin = ensure_oracle()
+    if not oracle_bin:
+        sys.stderr.write("[bench] reference oracle unavailable; "
+                         "vs_fair omitted\n")
     results = {}
     stages = {}
     device_only = {}
@@ -398,8 +457,21 @@ def main() -> None:
                 "wall_s": round(best, 3),
                 "vs_baseline": round(reads / best / baseline, 3),
             }
+            if oracle_bin:
+                try:
+                    fair = oracle_fair_rate(oracle_bin, workdir, paired, name,
+                                            n_records, argv,
+                                            1 if QUICK else 2)
+                    results[name]["fair_baseline"] = fair
+                    results[name]["vs_fair"] = round(
+                        results[name]["reads_per_sec"] / fair, 3)
+                except Exception as e:
+                    sys.stderr.write(f"[bench] {name}: oracle fair baseline "
+                                     f"failed: {e}\n")
             sys.stderr.write(f"[bench] {name}: {results[name]['reads_per_sec']:.0f}"
-                             f" reads/s (x{results[name]['vs_baseline']:.2f})\n")
+                             f" reads/s (x{results[name]['vs_baseline']:.2f}"
+                             + (f", x{results[name]['vs_fair']:.2f} vs fair"
+                                if "vs_fair" in results[name] else "") + ")\n")
             try:
                 device_only[name] = device_only_rate(name, paired, argv, workdir)
                 sys.stderr.write(f"[bench] {name}: device-only "
@@ -441,7 +513,12 @@ def main() -> None:
         "value": head["reads_per_sec"],
         "unit": "reads/s",
         "vs_baseline": head["vs_baseline"],
+        "vs_fair": head.get("vs_fair"),
         "configs": {k: v["reads_per_sec"] for k, v in results.items()},
+        "fair_baseline": {k: v["fair_baseline"] for k, v in results.items()
+                          if "fair_baseline" in v},
+        "vs_fair_configs": {k: v["vs_fair"] for k, v in results.items()
+                            if "vs_fair" in v},
         "device_only": device_only,
         "link_mbps": link_mbps,
         "multihost_scaling": scaling,

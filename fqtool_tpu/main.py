@@ -139,6 +139,12 @@ def _activate_headcache(opt: Options) -> None:
         return
     if opt.interleaved_input:
         return
+    # only worth it when a pre-pass actually consumes a substantial head
+    # (ORS prefix / PE adapter detection / split-sizing record count);
+    # read_len alone touches 1000 records, cheaper than filling the cache
+    if not (opt.over_rep.enabled or opt.adapter.enable_detect_for_pe
+            or opt.split.by_file_number):
+        return
     from .io import headcache
     if opt.is_paired():
         from .pipeline.pe_runner import main_pack_reads

@@ -79,19 +79,42 @@ _POLYX_BASES = (A, T, C, G, N)
 
 def trim_polyx(seq: jnp.ndarray, rlen: jnp.ndarray, trim_chr: str,
                compare_req: int, max_mismatch: int, each: int) -> PolyTrimResult:
-    """reference: src/polyx.cpp:45-101."""
+    """reference: src/polyx.cpp:45-101.
+
+    The five cumulative ATCGN tallies are packed into TWO int32 cumsum
+    planes (10-bit fields: A/T/C in one, G/N in the other) when the width
+    allows -- the per-base cumsums were the measured device-time outlier
+    (round-3 device-only: 4.9M reads/s vs 12.3M for qualcut).  Counter
+    fields cannot overflow while L <= 1023; wider reads fall back to the
+    five-plane layout.  Bit-identical either way."""
     B, L = seq.shape
     rev, iq, mask = _scan_frame(seq, rlen)
     in_trim = [c in trim_chr for c in "ATCGN"]
 
-    counts = []  # cumulative tallies per base, [B, L] each
-    for bchar in _POLYX_BASES:
-        if bchar == N:
-            # default case of the switch: anything not A/T/C/G tallies as N
-            hit = ~((rev == A) | (rev == T) | (rev == C) | (rev == G)) & mask
-        else:
-            hit = (rev == bchar) & mask
-        counts.append(jnp.cumsum(hit.astype(jnp.int32), axis=1))
+    if L <= 1023:
+        # base class per column: A=0 T=1 C=2 G=3 other=4; masked-out
+        # columns get class 5 (tallies nothing)
+        cls = jnp.where(rev == A, 0,
+              jnp.where(rev == T, 1,
+              jnp.where(rev == C, 2,
+              jnp.where(rev == G, 3, 4))))
+        cls = jnp.where(mask, cls, 5).astype(jnp.int32)
+        lut1 = jnp.array([1, 1 << 10, 1 << 20, 0, 0, 0], jnp.int32)
+        lut2 = jnp.array([0, 0, 0, 1, 1 << 10, 0], jnp.int32)
+        c1 = jnp.cumsum(lut1[cls], axis=1)
+        c2 = jnp.cumsum(lut2[cls], axis=1)
+        f = jnp.int32(1023)
+        counts = [c1 & f, (c1 >> 10) & f, (c1 >> 20) & f,
+                  c2 & f, (c2 >> 10) & f]
+    else:
+        counts = []  # cumulative tallies per base, [B, L] each
+        for bchar in _POLYX_BASES:
+            if bchar == N:
+                # default switch case: anything not A/T/C/G tallies as N
+                hit = ~((rev == A) | (rev == T) | (rev == C) | (rev == G)) & mask
+            else:
+                hit = (rev == bchar) & mask
+            counts.append(jnp.cumsum(hit.astype(jnp.int32), axis=1))
 
     allowed = _allowed_mismatch(iq, max_mismatch, each)
     cmp = iq + 1
@@ -106,17 +129,25 @@ def trim_polyx(seq: jnp.ndarray, rlen: jnp.ndarray, trim_chr: str,
     triggered = (pos_star + 1) >= compare_req
 
     # tallies include the breaking position; for a completed scan use the last
-    # valid index (column L-1)
+    # valid index (column L-1).  One-hot masked reduction instead of a lane
+    # gather: per-row dynamic gathers along the lane dimension are the slow
+    # path on the TPU VPU (measured ~3 ms per [B, L] take_along_axis at
+    # B=65536 inside the fused pipeline vs ~0.1 ms for the reduction)
     tally_q = jnp.clip(jnp.minimum(q_star, jnp.int32(L - 1)), 0, L - 1)
+    onehot_q = positions(L) == tally_q[:, None]  # [B, L]
     tallies = jnp.stack(
-        [jnp.take_along_axis(c, tally_q[:, None], axis=1)[:, 0] for c in counts],
+        [jnp.sum(jnp.where(onehot_q, c, 0), axis=1) for c in counts],
         axis=1)  # [B, 5]
     # dominant trim base: strict > comparison walking A,T,C,G,N
     # (polyx.cpp:83-90) == first argmax over trim bases in that order
     sel = jnp.array([(0 if t else -1) for t in in_trim], jnp.int32)[None, :]
     masked_tallies = jnp.where(sel == 0, tallies, -1)
     poly = jnp.argmax(masked_tallies, axis=1).astype(jnp.int32)  # [B]
-    poly_char = jnp.array([A, T, C, G, N], jnp.uint8)[poly]
+    # select chain instead of a [B] table gather (lane-gather slow path)
+    poly_char = jnp.where(poly == 0, A,
+                jnp.where(poly == 1, T,
+                jnp.where(poly == 2, C,
+                jnp.where(poly == 3, G, N)))).astype(jnp.uint8)
 
     # pos = min(rlen-1, pos); back up to the last occurrence of the dominant
     # base (polyx.cpp:92-95): largest scanned p <= pos with rev[p] == polyBase,

@@ -221,3 +221,27 @@ def test_multihost_parallel_ingest_interleaved(tmp_path):
     _run_multihost(argv, tmp_path / "mh2", 2)
     _assert_equal_outputs(tmp_path / "single", tmp_path / "mh2",
                           ("out1.fq.gz",))
+
+
+def test_multihost_ora_report_deterministic(tmp_path):
+    """Multi-host ORA semantics pinned (VERDICT r3 item 8): post-filter ORA
+    sampling strides per host (PARITY.md documented deviation), so the
+    report is NOT bit-equal to a single-process run -- but for a FIXED world
+    size it must be a fixed function of the input.  Two identical 2-proc
+    runs must produce identical JSON (including the ORA sections), and the
+    ORA section must be present so the assertion bites."""
+    argv = ["-i", str(R1), "-o", "out.fq.gz", "-q", "--ora"]
+    _run_multihost(argv, tmp_path / "a", 2)
+    _run_multihost(argv, tmp_path / "b", 2)
+    with open(tmp_path / "a" / "report.json") as f:
+        ja = json.load(f)
+    with open(tmp_path / "b" / "report.json") as f:
+        jb = json.load(f)
+    assert any(
+        isinstance(v, dict) and v.get("OverrepresentedSequences")
+        for v in ja.values()), "ORA section missing or empty in 2-proc report"
+    for j in (ja, jb):
+        j.pop("Software", None)  # embeds the run directory
+    diffs = compare_json(ja, jb)
+    assert not diffs, "2-proc ORA report not deterministic:\n" + \
+        "\n".join(diffs[:20])
