@@ -261,6 +261,79 @@ def device_only_rate(name: str, paired: bool, argv: list, workdir: str) -> float
     return round(reads / dt, 1)
 
 
+def transfer_split(name: str, paired: bool, argv: list,
+                   workdir: str) -> dict:
+    """Per-config wire anatomy on this attachment (VERDICT r3 item 3): one
+    production chunk's host->device upload, device compute, and
+    device->host result fetch, each measured in isolation.
+
+    upload: a jitted reduce-to-scalar over the input arrays, called with
+    HOST numpy arrays so every call pays the full transfer (one input byte
+    is mutated per rep to defeat any caching).  compute: the two-point
+    fori_loop marginal cost (device_only_rate).  download: the blob fetch
+    delta -- wall of dispatch+np.asarray minus wall of
+    dispatch+block_until_ready (result left on device)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from fqtool_tpu.pipeline.blob import blobify
+
+    body, args, kw, rows = _device_args(name, paired, argv, workdir)
+
+    def best_of(f, n=3):
+        f()
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # ---- upload: consume every input into one scalar
+    up = jax.jit(lambda a: sum(
+        jnp.sum(x.astype(jnp.int32) if x.dtype != jnp.int32 else x,
+                dtype=jnp.int32)
+        for x in jax.tree_util.tree_leaves(a) if getattr(x, "ndim", 0)))
+    host_args = [np.array(a) for a in args]
+    rep = [0]
+
+    def do_upload():
+        a0 = host_args[0]
+        a0.flat[rep[0] % a0.size] ^= 1  # defeat transfer caching
+        rep[0] += 1
+        int(np.asarray(up(host_args)))
+    upload_s = best_of(do_upload)
+
+    # ---- compute + download: device-resident inputs, rolled per rep
+    dev = jax.device_put(args)
+    g = jax.jit(lambda a, i: blobify(body(
+        *jax.tree_util.tree_map(
+            lambda x: jnp.roll(x, i, axis=0) if x.ndim >= 1 else x, a),
+        **kw)))
+    i = [0]
+
+    def do_block():
+        i[0] += 1
+        jax.block_until_ready(g(dev, i[0]))
+
+    def do_fetch():
+        i[0] += 1
+        np.asarray(g(dev, i[0]))
+    block_s = best_of(do_block)
+    fetch_s = best_of(do_fetch)
+    blob_bytes = int(np.asarray(g(dev, 0)).nbytes)
+    in_bytes = sum(a.nbytes for a in host_args)
+    return {
+        "chunk_rows": rows,
+        "input_mb": round(in_bytes / 1e6, 2),
+        "blob_mb": round(blob_bytes / 1e6, 2),
+        "upload_ms": round(upload_s * 1e3, 1),
+        "compute_plus_rt_ms": round(block_s * 1e3, 1),
+        "download_ms": round(max(fetch_s - block_s, 0.0) * 1e3, 1),
+    }
+
+
 def multihost_scaling(workdir: str) -> dict:
     """Localhost multi-host scaling (BASELINE.md north star: >=90% linear
     reads/s scaling to N hosts): the SE quality-trim config over 1.6M reads,
@@ -418,6 +491,7 @@ def main() -> None:
     results = {}
     stages = {}
     device_only = {}
+    splits = {}
     cwd = os.getcwd()
     os.chdir(workdir)
     try:
@@ -478,6 +552,12 @@ def main() -> None:
                                  f"{device_only[name]:.0f} reads/s\n")
             except Exception as e:  # the e2e numbers still stand alone
                 sys.stderr.write(f"[bench] {name}: device-only failed: {e}\n")
+            try:
+                splits[name] = transfer_split(name, paired, argv, workdir)
+                sys.stderr.write(f"[bench] {name}: transfer split "
+                                 f"{splits[name]}\n")
+            except Exception as e:
+                sys.stderr.write(f"[bench] {name}: transfer split failed: {e}\n")
         scaling = {}
         if not QUICK and os.environ.get("FQTOOL_TPU_BENCH_MH", "1") == "1":
             try:
@@ -493,6 +573,7 @@ def main() -> None:
         "configs": results,
         "stages": stages,
         "device_only_reads_per_sec": device_only,
+        "transfer_split": splits,
         "link_mbps": link_mbps,
         "multihost_scaling": scaling,
     }
@@ -520,6 +601,7 @@ def main() -> None:
         "vs_fair_configs": {k: v["vs_fair"] for k, v in results.items()
                             if "vs_fair" in v},
         "device_only": device_only,
+        "transfer_split": splits,
         "link_mbps": link_mbps,
         "multihost_scaling": scaling,
     }))
