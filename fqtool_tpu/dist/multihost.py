@@ -380,6 +380,71 @@ class MultihostContext:
                 os.unlink(p)
 
 
+    def merge_split_stream(self, final_path: str, compression: int,
+                           indexes_by_rank: List[list], assign: List[int],
+                           nfiles: int, name_fn) -> None:
+        """Rank 0: route per-pack spans into numbered split files.
+
+        ``assign[pack_idx]`` is the split-file number from
+        pipeline/runner.py::replay_split_rotation (monotone non-decreasing,
+        so iterating files in order walks every rank's part file strictly
+        forward); ``name_fn(k)`` names file ``k``.  Every file 0..nfiles-1
+        is created -- files with no packs come out empty, matching
+        SplitWriter's open/close and the --split_file_number fill
+        (reference: src/threadconfig.cpp:107-137)."""
+        gz = final_path.endswith(".gz")
+        paths = [_part_path(final_path, r) for r in range(self.world)]
+        entries = sorted(
+            (pidx, r, entry)
+            for r, idx in enumerate(indexes_by_rank) for pidx, *entry in idx)
+        handles: dict = {}
+
+        def handle(r):
+            h = handles.get(r)
+            if h is None:
+                if not os.path.exists(paths[r]):
+                    raise FastqIOError(
+                        f"multihost merge: missing part file {paths[r]} "
+                        "(all ranks must write to a shared filesystem)")
+                h = handles[r] = open(paths[r], "rb")
+            return h
+
+        try:
+            pos = 0
+            for k in range(nfiles):
+                path = name_fn(k)
+                d = os.path.dirname(os.path.abspath(path))
+                os.makedirs(d, exist_ok=True)
+                with open(path, "wb", buffering=1 << 20) as out:
+                    if gz:
+                        out.write(_GZIP_HEADER)
+                        crc = 0
+                        size = 0
+                        while pos < len(entries) and \
+                                assign[entries[pos][0]] == k:
+                            _pidx, r, (comp_len, pcrc, raw_len) = entries[pos]
+                            out.write(handle(r).read(comp_len))
+                            crc = _crc32_combine(crc, pcrc, raw_len)
+                            size += raw_len
+                            pos += 1
+                        out.write(zlib.compressobj(
+                            compression, zlib.DEFLATED, -15).flush(zlib.Z_FINISH))
+                        out.write(struct.pack("<II", crc & 0xFFFFFFFF,
+                                              size & 0xFFFFFFFF))
+                    else:
+                        while pos < len(entries) and \
+                                assign[entries[pos][0]] == k:
+                            _pidx, r, (ln,) = entries[pos]
+                            out.write(handle(r).read(ln))
+                            pos += 1
+        finally:
+            for h in handles.values():
+                h.close()
+        for p in paths:
+            if os.path.exists(p):
+                os.unlink(p)
+
+
 def _part_path(final_path: str, rank: int) -> str:
     return f"{final_path}.mh{rank}.part"
 

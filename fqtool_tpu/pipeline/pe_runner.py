@@ -264,9 +264,9 @@ class PairEndRunner:
         files per output stream, reduce accumulators to rank 0, which merges
         the streams and writes the reports (dist/multihost.py)."""
         opt = self.opt
-        from ..config.options import OptionError
         if opt.split.enabled:
-            raise OptionError("split output is not supported in multi-host runs")
+            self._run_mh_split(mh)
+            return
         maybe_enable_sharding(pe_pipeline_call, pe_packed_call,
                               pe_packed5_call)
         # out1's stream exists whenever -o is given (an empty file when -O is
@@ -322,6 +322,76 @@ class PairEndRunner:
             for name, w in writers.items():
                 mh.merge_stream(w.final_path, opt.compression,
                                 [pl["idx"].get(name, []) for pl in gathered])
+            self.write_reports()
+        mh.barrier()
+
+    def _run_mh_split(self, mh) -> None:
+        """Multi-host split (`-s`/`-S`) PE run: per-pack ownership and
+        output framing, rank-0 rotation replay routing out1/out2 spans to
+        numbered files; the non-split streams (unpaired/merged/failed) merge
+        as single streams with the same per-pack framing the single-process
+        split path writes them with (see SingleEndRunner._run_mh_split)."""
+        opt = self.opt
+        from .runner import replay_split_rotation, split_file_name
+        maybe_enable_sharding(pe_pipeline_call, pe_packed_call,
+                              pe_packed5_call)
+        pack_reads = main_pack_reads(opt)
+        split_streams = [("out1", opt.out1), ("out2", opt.out2)]
+        plain_streams = [
+            ("unpaired1", opt.unpaired1),
+            ("unpaired2", opt.unpaired2
+             if opt.unpaired2 and opt.unpaired2 != opt.unpaired1 else None),
+            ("merged", opt.merge_pe.out
+             if opt.merge_pe.enabled and opt.merge_pe.out else None),
+            ("failed", opt.failed_out)]
+        writers = {name: mh.part_writer(path, opt.compression)
+                   for name, path in split_streams + plain_streams if path}
+        rotation = {}
+        for gidx, pack1, pack2 in prefetch_iter(encode_packs(mh.iter_owned_pe(
+                opt.in1, opt.in2, opt.interleaved_input,
+                pack_reads, opt.phred64, 1))):
+            self._pre_counter = gidx * pack_reads
+            self._record_base = gidx * pack_reads
+            r = self.complete_pack(self.submit_pack(pack1, pack2),
+                                   has_unpaired1=opt.unpaired1 != "",
+                                   want_failed=opt.failed_out != "")
+            rotation[gidx] = (pack1.count, r["read_passed"])
+            for name, w in writers.items():
+                w.write(gidx, r[name])
+        for w in writers.values():
+            w.close()
+        loginfo(f"PE split processing finished (rank {mh.rank}/{mh.world})")
+        payload = dict(
+            pre1=self.pre1, pre2=self.pre2, post1=self.post1, post2=self.post2,
+            fr=self.filter_result, insert_hist=self.insert_hist,
+            dup=None if self.dup is None else self.dup.payload(),
+            rot=rotation,
+            idx={name: w.index for name, w in writers.items()})
+        gathered = mh.gather(payload)
+        if mh.rank == 0:
+            for pl in gathered[1:]:
+                self.pre1.merge(pl["pre1"])
+                self.pre2.merge(pl["pre2"])
+                self.post1.merge(pl["post1"])
+                self.post2.merge(pl["post2"])
+                self.filter_result.merge(pl["fr"])
+                self.insert_hist += pl["insert_hist"]
+                if self.dup is not None and pl["dup"] is not None:
+                    self.dup.merge_payload(pl["dup"])
+            rot: dict = {}
+            for pl in gathered:
+                rot.update(pl["rot"])
+            counts = [rot[i] for i in sorted(rot)]
+            assign, nfiles = replay_split_rotation(opt, counts)
+            for name, w in writers.items():
+                idx = [pl["idx"].get(name, []) for pl in gathered]
+                if name in ("out1", "out2"):
+                    base = opt.out1 if name == "out1" else opt.out2
+                    mh.merge_split_stream(
+                        w.final_path, opt.compression, idx, assign, nfiles,
+                        lambda k, b=base: split_file_name(opt, b, k))
+                else:
+                    mh.merge_stream(w.final_path, opt.compression, idx)
             self.write_reports()
         mh.barrier()
 

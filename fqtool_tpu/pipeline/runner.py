@@ -259,6 +259,44 @@ def index_match(blacklist: List[str], target: bytes, threshold: int) -> bool:
     return False
 
 
+def split_file_name(opt: Options, base: str, k: int) -> str:
+    """Numbered split-file path ``<k+1 zero-padded>.<basename>``
+    (reference: src/threadconfig.cpp:88-105)."""
+    num = str(k + 1)
+    if opt.split.digits > 0:
+        num = num.zfill(opt.split.digits)
+    d = os.path.dirname(base)
+    return os.path.join(d, num + "." + os.path.basename(base)) if d \
+        else num + "." + os.path.basename(base)
+
+
+def replay_split_rotation(opt: Options, counts: List[tuple]):
+    """Replay :class:`SplitWriter`'s rotation state machine over the global
+    pack sequence without any output bytes.
+
+    ``counts`` is the ordered per-pack ``(input_count, read_passed)`` list;
+    returns ``(assign, nfiles)`` where ``assign[i]`` is the split-file
+    number pack ``i``'s records land in and ``nfiles`` includes the empty
+    files --split_file_number fills at close (threadconfig.cpp:107-137).
+    Used by the multi-host merge: ranks report their owned packs' counts and
+    rank 0 routes each pack's pre-deflated spans to the same numbered file
+    the single-process run would have written."""
+    assign = []
+    working = 0
+    cur = 0
+    for count, read_passed in counts:
+        assign.append(working)
+        cur += read_passed if opt.split.by_file_lines else count
+        if cur >= opt.split.size:
+            if opt.split.by_file_lines or working + 1 < opt.split.number:
+                working += 1
+                cur = 0
+    nfiles = working + 1
+    if opt.split.by_file_number:
+        nfiles = max(nfiles, opt.split.number)
+    return assign, nfiles
+
+
 class SplitWriter:
     """Split-output writer emulating ThreadConfig's rotation for a single
     worker (reference: src/threadconfig.cpp:88-137).  Matches the reference
@@ -275,12 +313,7 @@ class SplitWriter:
         self._open()
 
     def _name(self, base: str) -> str:
-        num = str(self.working_split + 1)
-        if self.opt.split.digits > 0:
-            num = num.zfill(self.opt.split.digits)
-        d = os.path.dirname(base)
-        return os.path.join(d, num + "." + os.path.basename(base)) if d \
-            else num + "." + os.path.basename(base)
+        return split_file_name(self.opt, base, self.working_split)
 
     def _open(self) -> None:
         if not self.opt.out1:
@@ -426,9 +459,9 @@ class SingleEndRunner:
         files, reduce accumulators to rank 0, which merges the output streams
         and writes the reports (dist/multihost.py)."""
         opt = self.opt
-        from ..config.options import OptionError
         if opt.split.enabled:
-            raise OptionError("split output is not supported in multi-host runs")
+            self._run_mh_split(mh)
+            return
         maybe_enable_sharding(se_pipeline_call, se_packed_call,
                               se_packed5_call)
         writers = {}
@@ -477,6 +510,72 @@ class SingleEndRunner:
                 mh.merge_stream(w.final_path, opt.compression,
                                 [pl["idx"].get(name, []) for pl in gathered])
             tracing.mark("merge_done")
+            with stage("reports"):
+                self.write_reports()
+        mh.barrier()
+
+    def _run_mh_split(self, mh) -> None:
+        """Multi-host split (`-s`/`-S`) run.
+
+        Ownership quantum = the split pack size (rotation happens between
+        packs in the single-process path), each rank deflates its owned
+        packs' output with the per-pack framing SplitWriter uses, and rank 0
+        replays the rotation state machine over the gathered global
+        ``(count, read_passed)`` sequence to route every pack's spans to the
+        same numbered file -- bytes identical to the single-process run
+        (reference rotation: src/threadconfig.cpp:88-137)."""
+        opt = self.opt
+        maybe_enable_sharding(se_pipeline_call, se_packed_call,
+                              se_packed5_call)
+        pack_reads = main_pack_reads(opt)
+        w_split = mh.part_writer(opt.out1, opt.compression) if opt.out1 else None
+        w_failed = (mh.part_writer(opt.failed_out, opt.compression)
+                    if opt.failed_out else None)
+        rotation = {}
+        for gidx, pack in prefetch_iter(encode_packs(
+                mh.iter_owned_se(opt.in1, pack_reads, opt.phred64, 1))):
+            self._pre_counter = gidx * pack_reads
+            self._record_base = gidx * pack_reads
+            outstr, failedstr, read_passed = self.complete_pack(
+                self.submit_pack(pack))
+            rotation[gidx] = (pack.count, read_passed)
+            if w_split is not None:
+                w_split.write(gidx, outstr)
+            if w_failed is not None:
+                w_failed.write(gidx, failedstr)
+        for w in (w_split, w_failed):
+            if w is not None:
+                w.close()
+        loginfo(f"SE split processing finished (rank {mh.rank}/{mh.world})")
+        payload = dict(
+            pre=self.pre_stats, post=self.post_stats, fr=self.filter_result,
+            dup=None if self.dup is None else self.dup.payload(),
+            rot=rotation,
+            idx={name: w.index for name, w in
+                 (("out1", w_split), ("failed", w_failed)) if w is not None})
+        gathered = mh.gather(payload)
+        if mh.rank == 0:
+            for pl in gathered[1:]:
+                self.pre_stats.merge(pl["pre"])
+                self.post_stats.merge(pl["post"])
+                self.filter_result.merge(pl["fr"])
+                if self.dup is not None and pl["dup"] is not None:
+                    self.dup.merge_payload(pl["dup"])
+            rot: dict = {}
+            for pl in gathered:
+                rot.update(pl["rot"])
+            counts = [rot[i] for i in sorted(rot)]
+            assign, nfiles = replay_split_rotation(opt, counts)
+            if w_split is not None:
+                mh.merge_split_stream(
+                    opt.out1, opt.compression,
+                    [pl["idx"].get("out1", []) for pl in gathered],
+                    assign, nfiles,
+                    lambda k: split_file_name(opt, opt.out1, k))
+            if w_failed is not None:
+                mh.merge_stream(
+                    opt.failed_out, opt.compression,
+                    [pl["idx"].get("failed", []) for pl in gathered])
             with stage("reports"):
                 self.write_reports()
         mh.barrier()
