@@ -495,7 +495,11 @@ def main() -> None:
     cwd = os.getcwd()
     os.chdir(workdir)
     try:
+        only = {s for s in os.environ.get(
+            "FQTOOL_TPU_BENCH_ONLY", "").split(",") if s}
         for name, baseline, reps, paired, n_records, argv in CONFIGS:
+            if only and name not in only:
+                continue
             if QUICK:
                 reps = 1
             if paired:
