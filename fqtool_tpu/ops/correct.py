@@ -41,25 +41,38 @@ class CorrectResult(NamedTuple):
     new_qual2: jnp.ndarray
 
 
-def _sparse_patches(fix: jnp.ndarray, new_seq: jnp.ndarray, new_qual: jnp.ndarray):
-    """Extract up to MAX_FIXES corrected positions per row.
+def _sparse_patches(fix: jnp.ndarray, new_seq: jnp.ndarray,
+                    new_qual: jnp.ndarray, seq: jnp.ndarray):
+    """Extract up to MAX_FIXES corrected positions per row, with the new
+    (seq, qual) byte and the pre-correction base at each.
 
     Iterative max-extraction instead of ``lax.top_k``: 5 masked max
     reductions compile to straight VPU code, where top_k lowers to a sort
-    (~30x slower at this shape on v5e)."""
-    B, L = fix.shape
-    pos = positions(L)
+    (~30x slower at this shape on v5e).  The slot VALUES come out of the
+    same loop as masked lane reductions -- positions are unique per row, so
+    exactly one lane matches ``hit`` -- instead of [B, L] -> [B, 5]
+    take_along_axis gathers, which lower to per-row dynamic gathers
+    (measured: the gathers were ~2/3 of this kernel's cost on v5e).
+    Values in dead slots (pos == -1) are unspecified; every consumer
+    masks by pos >= 0."""
+    pos = positions(fix.shape[1])
     cur = jnp.where(fix, pos, -1)
-    tops = []
+    # one masked max per slot extracts (new_seq | new_qual | from) packed
+    # into a single int32 plane instead of three separate reductions
+    packed = ((new_seq.astype(jnp.int32) << 16)
+              | (new_qual.astype(jnp.int32) << 8) | seq.astype(jnp.int32))
+    tops, vals = [], []
     for _ in range(MAX_FIXES):
         t = jnp.max(cur, axis=1)          # [B] largest remaining position
+        hit = cur == t[:, None]
         tops.append(t)
-        cur = jnp.where(cur == t[:, None], -1, cur)
-    top = jnp.stack(tops, axis=1)         # [B, MAX_FIXES] descending, -1 pad
-    idx = jnp.clip(top, 0, L - 1)
-    return (top,
-            jnp.take_along_axis(new_seq, idx, axis=1),
-            jnp.take_along_axis(new_qual, idx, axis=1))
+        vals.append(jnp.max(jnp.where(hit, packed, 0), axis=1))
+        cur = jnp.where(hit, -1, cur)
+    v = jnp.stack(vals, axis=1)           # [B, MAX_FIXES]
+    return (jnp.stack(tops, axis=1),      # [B, MAX_FIXES] descending, -1 pad
+            ((v >> 16) & 0xFF).astype(jnp.uint8),
+            ((v >> 8) & 0xFF).astype(jnp.uint8),
+            v & 0xFF)
 
 
 def correct_by_overlap(seq1, qual1, rlen1, seq2, qual2, rlen2, ov,
@@ -108,23 +121,21 @@ def correct_by_overlap(seq1, qual1, rlen1, seq2, qual2, rlen2, ov,
     corrected1 = jnp.sum(fix1, axis=1).astype(jnp.int32)
     corrected2 = jnp.sum(fix2, axis=1).astype(jnp.int32)
 
-    pos1, ns1, nq1 = _sparse_patches(fix1, new_seq1, new_qual1)
-    pos2, ns2, nq2 = _sparse_patches(fix2, new_seq2, new_qual2)
+    pos1, ns1, nq1, frm1 = _sparse_patches(fix1, new_seq1, new_qual1, seq1)
+    pos2, ns2, nq2, frm2 = _sparse_patches(fix2, new_seq2, new_qual2, seq2)
 
     # correction matrix (from & 7) * 8 + (to & 7), filterresult.cpp:122-126 --
     # computed from the sparse patches (<= MAX_FIXES entries per row) as 64
     # masked sums over [B, MAX_FIXES]: a [B*L] scatter-add into 64 bins costs
     # ~100ms/chunk on v5e, this is noise
-    def _matrix_from(seq, pos, new_seq):
-        idx = jnp.clip(pos, 0, seq.shape[1] - 1)
-        frm = jnp.take_along_axis(seq, idx, axis=1)
+    def _matrix_from(frm, pos, new_seq):
         key = (frm & 7).astype(jnp.int32) * 8 + (new_seq & 7).astype(jnp.int32)
         live = (pos >= 0).astype(jnp.int32)
         return jnp.stack([jnp.sum(jnp.where(key == m, live, 0))
                           for m in range(64)])
 
-    matrix = (_matrix_from(seq1, pos1, ns1)
-              + _matrix_from(seq2, pos2, ns2)).astype(jnp.int32)
+    matrix = (_matrix_from(frm1, pos1, ns1)
+              + _matrix_from(frm2, pos2, ns2)).astype(jnp.int32)
 
     return CorrectResult(new_seq1, new_qual1, new_seq2, new_qual2,
                          corrected1, corrected2, matrix,
