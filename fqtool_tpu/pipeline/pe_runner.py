@@ -434,9 +434,11 @@ class PairEndRunner:
         # runs ahead on later chunks while the host fetches/folds earlier ones
         pending = []
         lo = 0
+        from .runner import tail_rows
         while lo < B:
             hi = min(lo + rows, B)
             n = hi - lo
+            r = tail_rows(n, rows)
             with stage("pe_dispatch"):
                 # call_blob pads rows and picks the transport (blob.py)
                 rest = (start1[lo:hi], start2[lo:hi], keep[lo:hi],
@@ -462,7 +464,7 @@ class PairEndRunner:
                     call = pe_packed5_call.call_blob(
                         (e1[1][lo:hi], pack1.lens[lo:hi],
                          e2[1][lo:hi], pack2.lens[lo:hi]) + rest,
-                        rows, aux=(e1[2], e2[2]),
+                        r, aux=(e1[2], e2[2]),
                         enc_width1=pack1.seq.shape[1],
                         enc_width2=pack2.seq.shape[1], **kw)
                 elif e1 is not None and e2 is not None and \
@@ -470,13 +472,13 @@ class PairEndRunner:
                     call = pe_packed_call.call_blob(
                         (e1[1][lo:hi], pack1.lens[lo:hi],
                          e2[1][lo:hi], pack2.lens[lo:hi]) + rest,
-                        rows, **kw)
+                        r, **kw)
                 else:
                     call = pe_pipeline_call.call_blob(
                         (pack1.seq[lo:hi], pack1.qual[lo:hi],
                          pack1.lens[lo:hi], pack2.seq[lo:hi],
                          pack2.qual[lo:hi], pack2.lens[lo:hi]) + rest,
-                        rows, **kw)
+                        r, **kw)
                 pending.append((lo, n, call))
             lo = hi
         return pack1, pack2, keep, start1, start2, pending

@@ -136,7 +136,7 @@ def drain_pipelined(pending):
 # programs regardless of input size -- recompilation would dominate runtime,
 # especially with a remote-compile TPU attachment.
 SE_CHUNK = int(os.environ.get("FQTOOL_TPU_SE_CHUNK", "65536"))
-_BUCKETS = (256, 2048, 8192)
+_BUCKETS = (256, 2048, 8192, 16384, 32768)
 
 
 def main_pack_reads(opt) -> int:
@@ -196,6 +196,25 @@ def chunk_rows(pack_total: int, cap: int) -> int:
         if pack_total <= b and b <= cap:
             return b
     return cap
+
+
+def tail_rows(n: int, rows: int) -> int:
+    """Program size for a chunk of ``n`` rows: the locked ``rows`` for full
+    chunks, else the smallest bucket that holds the tail.
+
+    Padded rows upload AND compute at full cost (call_blob zero-pads
+    host-side), so a 6k-row tail in a 65536-row program wastes ~90% of that
+    chunk's wire and chip time -- on the 4-proc CPU-mesh scaling bench the
+    per-rank tail quantized device work to whole 65536-row programs (+-17%
+    rank imbalance), and on the TPU e2e bench the stream tail re-ran a
+    near-empty full-size program.  Cost: at most one extra cached compile
+    per bucket size per config."""
+    if n >= rows:
+        return rows
+    for b in _BUCKETS:
+        if n <= b and b < rows:
+            return b
+    return rows
 
 
 def _uniform_offset(start: np.ndarray) -> int:
@@ -634,6 +653,7 @@ class SingleEndRunner:
         while lo < B:
             hi = min(lo + rows, B)
             n = hi - lo
+            r = tail_rows(n, rows)
             # call_blob pads rows and picks the transport (blob.py)
             rest = (pack.lens[lo:hi], start0[lo:hi], keep[lo:hi],
                     np.ones(n, bool))
@@ -649,14 +669,14 @@ class SingleEndRunner:
             enc = pack.enc
             if enc is not None and enc[0] == "b5":
                 pending.append((n, se_packed5_call.call_blob(
-                    (enc[1][lo:hi],) + rest, rows, aux=(enc[2],),
+                    (enc[1][lo:hi],) + rest, r, aux=(enc[2],),
                     enc_width=pack.seq.shape[1], **kw)))
             elif enc is not None:
                 pending.append((n, se_packed_call.call_blob(
-                    (enc[1][lo:hi],) + rest, rows, **kw)))
+                    (enc[1][lo:hi],) + rest, r, **kw)))
             else:
                 pending.append((n, se_pipeline_call.call_blob(
-                    (pack.seq[lo:hi], pack.qual[lo:hi]) + rest, rows, **kw)))
+                    (pack.seq[lo:hi], pack.qual[lo:hi]) + rest, r, **kw)))
             lo = hi
         return pack, start0, keep, pending
 
