@@ -276,6 +276,26 @@ def test_multihost_split_pe(tmp_path):
                           ("up1.fq.gz", "failed.fq.gz"))
 
 
+def test_multihost_split_interleaved(tmp_path):
+    """Interleaved PE input + `-S` split under multi-host: the planned
+    interleaved ingest (rec_per_unit=2) must agree with the split pack
+    quantum, and out1/out2 split files must match single-process bytes."""
+    import gzip
+    l1 = gzip.decompress(R1.read_bytes()).split(b"\n")
+    l2 = gzip.decompress(R2.read_bytes()).split(b"\n")
+    inter = []
+    for i in range(len(l1) // 4):
+        inter += l1[4 * i: 4 * i + 4] + l2[4 * i: 4 * i + 4]
+    (tmp_path / "inter.fq").write_bytes(b"\n".join(inter) + b"\n")
+    argv = ["-i", str(tmp_path / "inter.fq"), "--in_fq_interleaved",
+            "-o", "out1.fq.gz", "-q", "-S",
+            "--splie_file_line", "3000", "--max_item_in_pack", "2500"]
+    _run_single(argv, tmp_path / "single")
+    _run_multihost(argv, tmp_path / "mh2", 2)
+    _assert_equal_split_files(tmp_path / "single", tmp_path / "mh2",
+                              "*.out1.fq.gz")
+
+
 def test_multihost_ora_report_deterministic(tmp_path):
     """Multi-host ORA semantics pinned (VERDICT r3 item 8): post-filter ORA
     sampling strides per host (PARITY.md documented deviation), so the
