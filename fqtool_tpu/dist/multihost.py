@@ -28,6 +28,13 @@ shards the *pack stream* across host processes:
   to rank 0 over a TCP allgather (the duplication combine is associative:
   min-kmer wins, equal kmers add counts, earliest ``first_pos`` keeps the
   first-record GC -- see host/duplicate.py).
+* Split output (`-s`/`-S`): ownership moves to the split pack quantum
+  (rotation happens between packs), ranks deflate owned packs with the
+  single-process per-pack framing, and rank 0 replays the rotation state
+  machine over the gathered global (count, read_passed) sequence
+  (pipeline/runner.py::replay_split_rotation) to route each pack's spans
+  to the same numbered file via :meth:`MultihostContext.merge_split_stream`
+  -- byte-identical split files at any world size.
 
 Activation: set ``FQTOOL_TPU_COORDINATOR=host:port``, ``FQTOOL_TPU_NPROCS``
 and ``FQTOOL_TPU_PROC_ID``.  The stat-reduction socket uses port+1 (override
