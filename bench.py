@@ -305,6 +305,38 @@ def transfer_split(name: str, paired: bool, argv: list,
         int(np.asarray(up(host_args)))
     upload_s = best_of(do_upload)
 
+    # ---- production-transport upload: the b5 dictionary encoding replaces
+    # the (seq, qual) planes with 0.625-byte/base packed planes on the wire
+    # (runner.encode_packs); measure the same reduce over those bytes so the
+    # probe reflects what production actually uploads
+    b5_s = b5_bytes = None
+    try:
+        from fqtool_tpu.ops.packed import encode5_host, encode_host
+        # from the PRISTINE args: do_upload's cache-busting bit flips write
+        # non-ACGTN bytes into host_args' seq plane, which b5 rightly rejects
+        pristine = [np.array(a) for a in args]
+        planes = [a for a in pristine if a.ndim == 2 and a.dtype == np.uint8]
+        rest = [a for a in pristine if not (a.ndim == 2 and a.dtype == np.uint8)]
+        encs = []
+        for k in range(0, len(planes), 2):
+            enc = encode_host(planes[k], planes[k + 1])
+            e5 = encode5_host(enc) if enc is not None else None
+            if e5 is None:
+                raise ValueError("pack not b5-encodable")
+            encs += [e5[0], e5[1]]
+        b5_args = encs + rest
+        b5_bytes = sum(a.nbytes for a in b5_args)
+        rep5 = [0]
+
+        def do_upload_b5():
+            a0 = b5_args[0]
+            a0.flat[rep5[0] % a0.size] ^= 1
+            rep5[0] += 1
+            int(np.asarray(up(b5_args)))
+        b5_s = best_of(do_upload_b5)
+    except Exception:
+        pass
+
     # ---- compute + download: device-resident inputs, rolled per rep
     dev = jax.device_put(args)
     g = jax.jit(lambda a, i: blobify(body(
@@ -324,7 +356,7 @@ def transfer_split(name: str, paired: bool, argv: list,
     fetch_s = best_of(do_fetch)
     blob_bytes = int(np.asarray(g(dev, 0)).nbytes)
     in_bytes = sum(a.nbytes for a in host_args)
-    return {
+    res = {
         "chunk_rows": rows,
         "input_mb": round(in_bytes / 1e6, 2),
         "blob_mb": round(blob_bytes / 1e6, 2),
@@ -332,6 +364,10 @@ def transfer_split(name: str, paired: bool, argv: list,
         "compute_plus_rt_ms": round(block_s * 1e3, 1),
         "download_ms": round(max(fetch_s - block_s, 0.0) * 1e3, 1),
     }
+    if b5_s is not None:
+        res["b5_input_mb"] = round(b5_bytes / 1e6, 2)
+        res["b5_upload_ms"] = round(b5_s * 1e3, 1)
+    return res
 
 
 def multihost_scaling(workdir: str) -> dict:
