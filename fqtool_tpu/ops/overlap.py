@@ -86,7 +86,11 @@ def _phase_scan50(head: jnp.ndarray, moving: jnp.ndarray, O: int,
     hit = (d50 < diff_limit) & valid
     found = jnp.any(hit, axis=1)
     sel = first_true(hit, jnp.int32(0))
-    ol_sel = jnp.take_along_axis(ol, sel[:, None], axis=1)[:, 0]
+    # masked lane reduction instead of a [B, O] -> [B] per-row gather (the
+    # same scalar-path-gather cost the correction patches paid); sel is a
+    # valid offset whenever found, where ol > overlap_require > 0 -- rows
+    # without a hit are masked by `found` downstream
+    ol_sel = jnp.max(jnp.where(positions(O) == sel[:, None], ol, 0), axis=1)
     return found, sel, ol_sel
 
 
