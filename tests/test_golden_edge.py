@@ -184,3 +184,40 @@ def test_pe_long_reads_merge(oracle, tmp_path):
           ["-i", str(fq1), "-I", str(fq2), "-o", "o1.fq.gz", "-O", "o2.fq.gz",
            "-m", "--merge_output", "m.fq.gz", "-c"],
           ["o1.fq.gz", "o2.fq.gz", "m.fq.gz"])
+
+
+def test_bench_scale_stream(oracle, tmp_path):
+    """Bench-scale SE stream (400k reads = 32x-replicated r1): multi-pack
+    streaming, write-unit framing and the tail-chunk bucket path all engage
+    (3 full 131072-read packs + a 6784-read tail), diffed record-for-record
+    against the oracle.
+
+    The JSON comparison EXCLUDES the Duplication section: at 32 copies per
+    read the duplication counts reach histSize, where the reference's
+    half-memset (seprocessor.cpp:245, sizeof(int) on a uint64 array) and
+    hist[count] out-of-bounds write leave heap garbage in slots 16..31
+    (observed raw-pointer values like 1709375216) -- the documented
+    reference bugs fqtool_tpu deliberately does not reproduce (PARITY.md);
+    our histogram holds the honest clamped counts."""
+    rep = tmp_path / "se400k.fq.gz"
+    rep.write_bytes(R1.read_bytes() * 32)
+    args = ["-i", str(rep), "-o", "out.fq.gz", "-q", "-f", "3", "-t", "2", "-d"]
+    ours_dir = tmp_path / "ours"
+    oracle_dir = tmp_path / "oracle"
+    res = oracle.run(args + ["-w", "1"], oracle_dir)
+    assert res.returncode == 0, res.stderr
+    run_ours(args, ours_dir)
+    d = diff_fastq(read_fastq(ours_dir / "out.fq.gz"),
+                   read_fastq(oracle_dir / "out.fq.gz"))
+    assert not d, "\n".join(d[:20])
+    with open(ours_dir / "report.json") as f:
+        ours_json = json.load(f)
+    ref_json = res.json_report()
+    # our histogram must hold honest counts (the clamped top slot is
+    # populated; nothing resembles the oracle's heap-pointer garbage)
+    hist = ours_json["Duplication"]["Histogram"]
+    assert hist[-1] > 0 and all(0 <= c <= 400_000 for c in hist)
+    for j in (ours_json, ref_json):
+        j.pop("Duplication", None)
+    diffs = compare_json(ours_json, ref_json)
+    assert not diffs, "\n".join(diffs[:40])
