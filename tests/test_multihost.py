@@ -296,6 +296,45 @@ def test_multihost_split_interleaved(tmp_path):
                               "*.out1.fq.gz")
 
 
+def test_multihost_corrupt_input_fails_fast(tmp_path):
+    """Corrupt gzip input under multi-host: every rank must exit nonzero
+    with the clean gzip error quickly -- never hang on the reduction
+    socket waiting for a peer that died (main.py failure path)."""
+    data = R1.read_bytes() * 4
+    bad = tmp_path / "bad.fq.gz"
+    bad.write_bytes(data[: len(data) // 2] + b"GARBAGE"
+                    + data[len(data) // 2: len(data) // 2 + 1000])
+    argv = ["-i", str(bad), "-o", "out.fq.gz", "-q"]
+    workdir = tmp_path / "mh2"
+    workdir.mkdir(parents=True, exist_ok=True)
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = os.environ.copy()
+        env.update(_CHUNK_ENV)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env.update({
+            "FQTOOL_TPU_COORDINATOR": f"127.0.0.1:{port}",
+            "FQTOOL_TPU_NPROCS": "2",
+            "FQTOOL_TPU_PROC_ID": str(rank),
+            "FQTOOL_TPU_PLATFORM": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "fqtool_tpu.main", *argv], cwd=workdir,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    for rank, p in enumerate(procs):
+        try:
+            _out, err = p.communicate(timeout=120)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise AssertionError(f"rank {rank} hung on corrupt input")
+        assert p.returncode != 0, f"rank {rank} unexpectedly succeeded"
+        assert "gzip" in err.lower(), err[-500:]
+
+
 def test_multihost_ora_report_deterministic(tmp_path):
     """Multi-host ORA semantics pinned (VERDICT r3 item 8): post-filter ORA
     sampling strides per host (PARITY.md documented deviation), so the
