@@ -175,9 +175,20 @@ class MultihostContext:
 
     def _connect(self, listener) -> None:
         if self.rank == 0:
+            # bounded accept: a peer that dies before connecting (startup
+            # crash, bad input on its rank) must fail this rank with the
+            # clean ConnectionError path (main.py), not strand it in accept
+            deadline = time.monotonic() + 120
             with listener:
                 while len(self._conns) < self.world - 1:
-                    conn, _ = listener.accept()
+                    listener.settimeout(max(0.1, deadline - time.monotonic()))
+                    try:
+                        conn, _ = listener.accept()
+                    except (socket.timeout, TimeoutError):
+                        missing = self.world - 1 - len(self._conns)
+                        raise ConnectionError(
+                            f"{missing} multihost peer(s) never connected "
+                            "within 120s")
                     conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
                     r = _recv(conn)
                     self._conns[r] = conn
