@@ -370,13 +370,18 @@ def transfer_split(name: str, paired: bool, argv: list,
     return res
 
 
-def multihost_scaling(workdir: str) -> dict:
+def multihost_scaling(workdir: str, config: str = "se_qualtrim") -> dict:
     """Localhost multi-host scaling (BASELINE.md north star: >=90% linear
-    reads/s scaling to N hosts): the SE quality-trim config over 1.6M reads,
-    1/2/4 processes, each rank PINNED to one core with taskset so per-host
+    reads/s scaling to N hosts **on SE and PE pipelines**): 1/2/4 processes
+    over 1.6M reads, each rank PINNED to one core with taskset so per-host
     resources stay fixed as hosts are added.  Outputs are asserted
     byte-identical to the 1-proc run; the rank-0 merge is pure concatenation
     of rank-side-deflated spans (dist/multihost.py).
+
+    ``config`` selects the pipeline: ``se_qualtrim`` (no evaluation
+    pre-pass beyond read length) or ``pe_full`` (adapter auto-detection
+    pre-pass -- runs ONCE on rank 0 and broadcasts, main.py::_prepass_multihost,
+    mirroring the reference's once-only startup, main.cpp:128-143).
 
     Efficiency definition.  ``efficiency_N`` compares the N-process
     multihost steady wall against the *measured parallel control*: N
@@ -401,12 +406,38 @@ def multihost_scaling(workdir: str) -> dict:
     # jax import + XLA cache load, constant in N) stays under 10% of the
     # 2-proc wall -- the quantity BASELINE.md's north star describes is
     # steady-state streaming, not process launch
-    replicate(f"{TESTDATA}/r1.fq.gz", f"{workdir}/mh.fq.gz", 128)
-    for n in (2, 4):
-        replicate(f"{TESTDATA}/r1.fq.gz", f"{workdir}/mh_part{n}.fq.gz",
-                  128 // n)
-    argv = ["-i", "mh.fq.gz", "-o", "out.fq.gz", "-q", "-f", "3", "-t", "2"]
-    n_reads = 1_600_000
+    if config == "pe_full":
+        for side in (1, 2):
+            replicate(f"{TESTDATA}/r{side}.fq.gz",
+                      f"{workdir}/mhp{side}.fq.gz", 64)
+            for n in (2, 4):
+                replicate(f"{TESTDATA}/r{side}.fq.gz",
+                          f"{workdir}/mhp{side}_part{n}.fq.gz", 64 // n)
+        pipe_args = ["-q", "--kmer", "--kmer_length", "6", "-d", "-a",
+                     "--detect_pe_adapter"]
+        argv = ["-i", "mhp1.fq.gz", "-I", "mhp2.fq.gz",
+                "-o", "out.fq.gz", "-O", "out2.fq.gz"] + pipe_args
+        n_reads = 1_600_000  # 800k pairs
+
+        def control_args(nprocs, r):
+            return ["-i", f"mhp1_part{nprocs}.fq.gz",
+                    "-I", f"mhp2_part{nprocs}.fq.gz",
+                    "-o", f"ctl{nprocs}_{r}.fq.gz",
+                    "-O", f"ctl{nprocs}_{r}_2.fq.gz"] + pipe_args
+        compare_outs = ["out.fq.gz", "out2.fq.gz"]
+    else:
+        replicate(f"{TESTDATA}/r1.fq.gz", f"{workdir}/mh.fq.gz", 128)
+        for n in (2, 4):
+            replicate(f"{TESTDATA}/r1.fq.gz", f"{workdir}/mh_part{n}.fq.gz",
+                      128 // n)
+        pipe_args = ["-q", "-f", "3", "-t", "2"]
+        argv = ["-i", "mh.fq.gz", "-o", "out.fq.gz"] + pipe_args
+        n_reads = 1_600_000
+
+        def control_args(nprocs, r):
+            return ["-i", f"mh_part{nprocs}.fq.gz",
+                    "-o", f"ctl{nprocs}_{r}.fq.gz"] + pipe_args
+        compare_outs = ["out.fq.gz"]
 
     def free_port():
         with socket.socket() as s:
@@ -460,24 +491,21 @@ def multihost_scaling(workdir: str) -> dict:
         mh_env = {} if nprocs == 1 else {
             "FQTOOL_TPU_COORDINATOR": f"127.0.0.1:{port}",
             "FQTOOL_TPU_NPROCS": str(nprocs)}
-        out = "out.fq.gz" if nprocs == 1 else f"out_mh{nprocs}.fq.gz"
-        args = [a if a != "out.fq.gz" else out for a in argv]
-        procs = [spawn(r, nprocs, args, f"mh{nprocs}",
+        args = [a.replace("out", f"out_mh{nprocs}") if a.startswith("out")
+                else a for a in argv] if nprocs > 1 else argv
+        procs = [spawn(r, nprocs, args, f"{config}_mh{nprocs}",
                        mh_env | ({"FQTOOL_TPU_PROC_ID": str(r)}
                                  if nprocs > 1 else {}))
                  for r in range(nprocs)]
-        return walls(procs, f"mh{nprocs}", nprocs)
+        return walls(procs, f"{config}_mh{nprocs}", nprocs)
 
     def run_control(nprocs: int):
         """The parallel control: nprocs concurrent INDEPENDENT 1-proc runs,
         each over a disjoint 1/nprocs of the input, same core pinning."""
-        procs = [spawn(r, nprocs,
-                       ["-i", f"mh_part{nprocs}.fq.gz",
-                        "-o", f"ctl{nprocs}_{r}.fq.gz", "-q", "-f", "3",
-                        "-t", "2"],
-                       f"ctl{nprocs}", {})
+        procs = [spawn(r, nprocs, control_args(nprocs, r),
+                       f"{config}_ctl{nprocs}", {})
                  for r in range(nprocs)]
-        return walls(procs, f"ctl{nprocs}", nprocs)
+        return walls(procs, f"{config}_ctl{nprocs}", nprocs)
 
     res = {}
     base = None
@@ -492,12 +520,14 @@ def multihost_scaling(workdir: str) -> dict:
         if nprocs > 1:
             _, ctl = min(run_control(nprocs) for _ in range(2))
             res[f"ideal_{nprocs}"] = round(n_reads / ctl, 1)
-        out = os.path.join(workdir,
-                           "out.fq.gz" if nprocs == 1 else f"out_mh{nprocs}.fq.gz")
+        outs = [os.path.join(workdir,
+                             o if nprocs == 1 else o.replace("out", f"out_mh{nprocs}"))
+                for o in compare_outs]
+        blobs = [open(o, "rb").read() for o in outs]
         if base is None:
-            base = open(out, "rb").read()
+            base = blobs
         else:
-            assert open(out, "rb").read() == base, \
+            assert blobs == base, \
                 f"multihost {nprocs}-proc output differs from single-process"
     for n in (2, 4):
         res[f"efficiency_{n}"] = round(res[str(n)] / res[f"ideal_{n}"], 3)
@@ -607,11 +637,19 @@ def main() -> None:
                 sys.stderr.write(f"[bench] {name}: transfer split failed: {e}\n")
         scaling = {}
         if not QUICK and os.environ.get("FQTOOL_TPU_BENCH_MH", "1") == "1":
+            # SE keeps the legacy flat keys; the PE pipeline (north star
+            # names both) nests under "pe_full"
             try:
-                scaling = multihost_scaling(workdir)
-                sys.stderr.write(f"[bench] multihost scaling: {scaling}\n")
+                scaling = multihost_scaling(workdir, "se_qualtrim")
+                sys.stderr.write(f"[bench] multihost scaling (SE): {scaling}\n")
             except Exception as e:
                 sys.stderr.write(f"[bench] multihost scaling failed: {e}\n")
+            try:
+                scaling["pe_full"] = multihost_scaling(workdir, "pe_full")
+                sys.stderr.write("[bench] multihost scaling (PE): "
+                                 f"{scaling['pe_full']}\n")
+            except Exception as e:
+                sys.stderr.write(f"[bench] PE multihost scaling failed: {e}\n")
     finally:
         os.chdir(cwd)
         shutil.rmtree(workdir, ignore_errors=True)

@@ -174,11 +174,15 @@ class MultihostContext:
                 "continuing with host-side reductions only\n")
 
     def _connect(self, listener) -> None:
+        # large worlds with slow interpreter/scheduler startup can legitimately
+        # take longer than the 120s default to get every peer connected
+        connect_timeout = float(os.environ.get("FQTOOL_TPU_CONNECT_TIMEOUT",
+                                               "120"))
         if self.rank == 0:
             # bounded accept: a peer that dies before connecting (startup
             # crash, bad input on its rank) must fail this rank with the
             # clean ConnectionError path (main.py), not strand it in accept
-            deadline = time.monotonic() + 120
+            deadline = time.monotonic() + connect_timeout
             with listener:
                 while len(self._conns) < self.world - 1:
                     listener.settimeout(max(0.1, deadline - time.monotonic()))
@@ -188,12 +192,13 @@ class MultihostContext:
                         missing = self.world - 1 - len(self._conns)
                         raise ConnectionError(
                             f"{missing} multihost peer(s) never connected "
-                            "within 120s")
+                            f"within {connect_timeout:.0f}s (set "
+                            "FQTOOL_TPU_CONNECT_TIMEOUT to extend)")
                     conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
                     r = _recv(conn)
                     self._conns[r] = conn
             return
-        deadline = time.monotonic() + 120
+        deadline = time.monotonic() + connect_timeout
         while True:
             try:
                 self._sock = socket.create_connection(

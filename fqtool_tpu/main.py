@@ -168,31 +168,70 @@ def _run(opt: Options) -> None:
         headcache.discard_all()
 
 
-def _run_inner(opt: Options) -> None:
+def _prepass(opt: Options) -> None:
+    """Evaluation pre-passes (main.cpp:128-143).  The read-number estimate
+    scans up to 512Ki records but is consumed only by -s split sizing
+    (main.cpp:132-135), so it runs only when needed."""
+    evaluator.evaluate_read_len(opt)
+    if opt.split.by_file_number:
+        evaluator.evaluate_read_num(opt)
+        opt.split.size = max(opt.est.reads_num // max(opt.split.number, 1), 1)
+        loginfo(f"total reds: {opt.est.reads_num} split size: {opt.split.size}")
+    if opt.over_rep.enabled:
+        evaluator.evaluate_over_rep_seqs(opt)
+    if opt.adapter.enable_detect_for_pe:
+        # independent full-prefix scans of R1 and R2 (the reference runs
+        # them back to back, main.cpp:141-142); each writes only its own
+        # opt.adapter field and the scan path is matrix/native code that
+        # releases the GIL, so two threads overlap cleanly
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f1 = ex.submit(evaluator.evaluate_adapter_seq, opt, False)
+            f2 = ex.submit(evaluator.evaluate_adapter_seq, opt, True)
+            f1.result()
+            f2.result()
 
-    # evaluation pre-passes (main.cpp:128-143).  The read-number estimate
-    # scans up to 512Ki records but is consumed only by -s split sizing
-    # (main.cpp:132-135), so it runs only when needed.
+
+# every option field the pre-passes write -- the broadcast payload of the
+# rank-0-only multihost prepass (anything missing here would silently
+# diverge between ranks, so keep in sync with _prepass)
+_PREPASS_FIELDS = (
+    ("est", "seq_len1"), ("est", "seq_len2"), ("est", "reads_num"),
+    ("est", "illumina_adapter"), ("split", "size"),
+    ("over_rep", "over_rep_seq_count_r1"), ("over_rep", "over_rep_seq_count_r2"),
+    ("adapter", "detected_adapter_seq_r1"), ("adapter", "detected_adapter_seq_r2"),
+)
+
+
+def _prepass_multihost(opt: Options, mh) -> None:
+    """The pre-passes scan a bounded input head; running them on every rank
+    would duplicate that scan O(world) times (and contend for the same
+    storage/CPU).  The reference runs them exactly once before its worker
+    threads start (main.cpp:128-143) -- the multi-host equivalent is
+    rank 0 runs them once and broadcasts the handful of derived values
+    (two read lengths, a record-count estimate, two ORS count dicts, two
+    adapter strings)."""
+    from .host import tracing
+    if mh.rank == 0:
+        _prepass(opt)
+        mh.broadcast({f"{s}.{f}": getattr(getattr(opt, s), f)
+                      for s, f in _PREPASS_FIELDS})
+    else:
+        for key, val in mh.broadcast().items():
+            s, f = key.split(".")
+            setattr(getattr(opt, s), f, val)
+    tracing.mark("prepass_broadcast_done")
+
+
+def _run_inner(opt: Options) -> None:
+    from .dist import multihost
     from .host.tracing import stage
+    mh = multihost.active()
     with stage("prepass"):
-        evaluator.evaluate_read_len(opt)
-        if opt.split.by_file_number:
-            evaluator.evaluate_read_num(opt)
-            opt.split.size = max(opt.est.reads_num // max(opt.split.number, 1), 1)
-            loginfo(f"total reds: {opt.est.reads_num} split size: {opt.split.size}")
-        if opt.over_rep.enabled:
-            evaluator.evaluate_over_rep_seqs(opt)
-        if opt.adapter.enable_detect_for_pe:
-            # independent full-prefix scans of R1 and R2 (the reference runs
-            # them back to back, main.cpp:141-142); each writes only its own
-            # opt.adapter field and the scan path is matrix/native code that
-            # releases the GIL, so two threads overlap cleanly
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=2) as ex:
-                f1 = ex.submit(evaluator.evaluate_adapter_seq, opt, False)
-                f2 = ex.submit(evaluator.evaluate_adapter_seq, opt, True)
-                f1.result()
-                f2.result()
+        if mh is not None:
+            _prepass_multihost(opt, mh)
+        else:
+            _prepass(opt)
 
     # SE/PE dispatch (processor.cpp:10-19)
     if opt.is_paired():

@@ -135,6 +135,10 @@ class PairEndRunner:
         self._pre_counter = 0
         self._post1_counter = 0
         self._post2_counter = 0
+        # multi-host: post-filter ORA sampling deferred until global passing
+        # prefixes are known (host/ora_defer.py)
+        self._ora_post1_defer = None
+        self._ora_post2_defer = None
         self._rows = 0  # device batch size, locked at the first pack
         # global stream index of the current pack's first pair (multi-host
         # runs; None = single-host, dup table keeps its own local counter)
@@ -286,6 +290,7 @@ class PairEndRunner:
         pack_reads = main_pack_reads(opt)
         unit = main_write_unit(opt)
         batch_units = max(1, pack_reads // unit)
+        self._make_ora_defer(opt)
         for u_lo, pack1, pack2 in prefetch_iter(encode_packs(mh.iter_owned_pe(
                 opt.in1, opt.in2, opt.interleaved_input,
                 unit, opt.phred64, batch_units))):
@@ -303,6 +308,7 @@ class PairEndRunner:
         for w in writers.values():
             w.close()
         loginfo(f"PE processing finished (rank {mh.rank}/{mh.world})")
+        self._replay_ora_defer(mh)
         payload = dict(
             pre1=self.pre1, pre2=self.pre2, post1=self.post1, post2=self.post2,
             fr=self.filter_result, insert_hist=self.insert_hist,
@@ -346,6 +352,7 @@ class PairEndRunner:
             ("failed", opt.failed_out)]
         writers = {name: mh.part_writer(path, opt.compression)
                    for name, path in split_streams + plain_streams if path}
+        self._make_ora_defer(opt)
         rotation = {}
         for gidx, pack1, pack2 in prefetch_iter(encode_packs(mh.iter_owned_pe(
                 opt.in1, opt.in2, opt.interleaved_input,
@@ -361,6 +368,7 @@ class PairEndRunner:
         for w in writers.values():
             w.close()
         loginfo(f"PE split processing finished (rank {mh.rank}/{mh.world})")
+        self._replay_ora_defer(mh)
         payload = dict(
             pre1=self.pre1, pre2=self.pre2, post1=self.post1, post2=self.post2,
             fr=self.filter_result, insert_hist=self.insert_hist,
@@ -394,6 +402,20 @@ class PairEndRunner:
                     mh.merge_stream(w.final_path, opt.compression, idx)
             self.write_reports()
         mh.barrier()
+
+    def _make_ora_defer(self, opt) -> None:
+        if opt.over_rep.enabled:
+            from ..host.ora_defer import DeferredOraSampler
+            self._ora_post1_defer = DeferredOraSampler(
+                opt.over_rep.sampling, self.post1)
+            self._ora_post2_defer = DeferredOraSampler(
+                opt.over_rep.sampling, self.post2)
+
+    def _replay_ora_defer(self, mh) -> None:
+        if self._ora_post1_defer is not None:
+            from ..host.ora_defer import exchange_and_replay
+            exchange_and_replay(
+                mh, [self._ora_post1_defer, self._ora_post2_defer])
 
     # ------------------------------------------------------------------
     def process_pack(self, pack1: ReadPack, pack2: ReadPack,
@@ -737,17 +759,44 @@ class PairEndRunner:
         idx1 = np.flatnonzero(m_written | (m_unm & pass1v))
         idx2 = np.flatnonzero(m_unm & pass2v)
         if sampling:
-            for k in range(-self._post1_counter % sampling, len(idx1), sampling):
-                i = int(idx1[k])
-                if m_written[i]:
-                    self.post1.add_over_rep_read(m_seq[i, : m_rlen[i]].tobytes())
-                else:
-                    self.post1.add_over_rep_read(
-                        content1(i, base1[i], int(rlen1[i]))[0])
-            for k in range(-self._post2_counter % sampling, len(idx2), sampling):
-                i = int(idx2[k])
-                self.post2.add_over_rep_read(
-                    content2(i, base2[i], int(rlen2[i]))[0])
+            if self._ora_post1_defer is not None:
+                # multi-host: spool the merged-stream emit order (merged read
+                # content or unmerged-kept r1) for the deferred global replay
+                from ..host.ora_defer import place_segments, ragged_gather
+                key = self._record_base + lo
+                mmask = m_written[idx1]
+                lens1 = np.where(mmask, m_rlen[idx1],
+                                 rlen1[idx1]).astype(np.int64)
+                flat1 = np.empty(int(lens1.sum()), np.uint8)
+                offs = np.cumsum(lens1) - lens1
+                im, iu = idx1[mmask], idx1[~mmask]
+                place_segments(flat1, offs[mmask],
+                               ragged_gather(m_seq, im,
+                                             np.zeros(len(im), np.int64),
+                                             m_rlen[im]),
+                               m_rlen[im])
+                place_segments(flat1, offs[~mmask],
+                               ragged_gather(mat1s, iu, base1[iu], rlen1[iu]),
+                               rlen1[iu])
+                self._ora_post1_defer.add_interval(key, flat1, lens1)
+                self._ora_post2_defer.add_interval(
+                    key, ragged_gather(mat2s, idx2, base2[idx2], rlen2[idx2]),
+                    rlen2[idx2])
+            else:
+                for k in range(-self._post1_counter % sampling, len(idx1),
+                               sampling):
+                    i = int(idx1[k])
+                    if m_written[i]:
+                        self.post1.add_over_rep_read(
+                            m_seq[i, : m_rlen[i]].tobytes())
+                    else:
+                        self.post1.add_over_rep_read(
+                            content1(i, base1[i], int(rlen1[i]))[0])
+                for k in range(-self._post2_counter % sampling, len(idx2),
+                               sampling):
+                    i = int(idx2[k])
+                    self.post2.add_over_rep_read(
+                        content2(i, base2[i], int(rlen2[i]))[0])
         self._post1_counter += len(idx1)
         self._post2_counter += len(idx2)
 
@@ -811,14 +860,26 @@ class PairEndRunner:
                 mat2s, mat2q, s2, rlen2))
             if sampling:
                 idx = np.flatnonzero(bothpass)
-                for k in range(-self._post1_counter % sampling, len(idx), sampling):
-                    i = idx[k]
-                    self.post1.add_over_rep_read(
-                        mat1s[i, s1[i] : s1[i] + rlen1[i]].tobytes())
-                for k in range(-self._post2_counter % sampling, len(idx), sampling):
-                    i = idx[k]
-                    self.post2.add_over_rep_read(
-                        mat2s[i, s2[i] : s2[i] + rlen2[i]].tobytes())
+                if self._ora_post1_defer is not None:
+                    from ..host.ora_defer import ragged_gather
+                    key = self._record_base + lo
+                    self._ora_post1_defer.add_interval(
+                        key, ragged_gather(mat1s, idx, s1[idx], rlen1[idx]),
+                        rlen1[idx])
+                    self._ora_post2_defer.add_interval(
+                        key, ragged_gather(mat2s, idx, s2[idx], rlen2[idx]),
+                        rlen2[idx])
+                else:
+                    for k in range(-self._post1_counter % sampling, len(idx),
+                                   sampling):
+                        i = idx[k]
+                        self.post1.add_over_rep_read(
+                            mat1s[i, s1[i] : s1[i] + rlen1[i]].tobytes())
+                    for k in range(-self._post2_counter % sampling, len(idx),
+                                   sampling):
+                        i = idx[k]
+                        self.post2.add_over_rep_read(
+                            mat2s[i, s2[i] : s2[i] + rlen2[i]].tobytes())
                 self._post1_counter += len(idx)
                 self._post2_counter += len(idx)
 

@@ -395,6 +395,9 @@ class SingleEndRunner:
                     if opt.duplicate.enabled else None)
         self._pre_counter = 0
         self._post_counter = 0
+        # multi-host: post-filter ORA sampling is deferred until the global
+        # passing-prefix counts are known (host/ora_defer.py)
+        self._ora_post_defer = None
         self._rows = 0  # device batch size, locked at the first pack
         # global stream index of the current pack's first record (multi-host
         # runs; None = single-host, dup table keeps its own local counter)
@@ -491,6 +494,10 @@ class SingleEndRunner:
         pack_reads = main_pack_reads(opt)
         unit = main_write_unit(opt)
         batch_units = max(1, pack_reads // unit)
+        if opt.over_rep.enabled:
+            from ..host.ora_defer import DeferredOraSampler
+            self._ora_post_defer = DeferredOraSampler(
+                opt.over_rep.sampling, self.post_stats)
         for u_lo, pack in prefetch_iter(encode_packs(
                 mh.iter_owned_se(opt.in1, unit, opt.phred64, batch_units))):
             # ORA pre-sampling strides over the GLOBAL stream order; units
@@ -512,6 +519,9 @@ class SingleEndRunner:
         loginfo(f"SE processing finished (rank {mh.rank}/{mh.world})")
         from ..host import tracing
         tracing.mark("stream_done")
+        if self._ora_post_defer is not None:
+            from ..host.ora_defer import exchange_and_replay
+            exchange_and_replay(mh, [self._ora_post_defer])
         payload = dict(
             pre=self.pre_stats, post=self.post_stats, fr=self.filter_result,
             dup=None if self.dup is None else self.dup.payload(),
@@ -550,6 +560,10 @@ class SingleEndRunner:
         w_split = mh.part_writer(opt.out1, opt.compression) if opt.out1 else None
         w_failed = (mh.part_writer(opt.failed_out, opt.compression)
                     if opt.failed_out else None)
+        if opt.over_rep.enabled:
+            from ..host.ora_defer import DeferredOraSampler
+            self._ora_post_defer = DeferredOraSampler(
+                opt.over_rep.sampling, self.post_stats)
         rotation = {}
         for gidx, pack in prefetch_iter(encode_packs(
                 mh.iter_owned_se(opt.in1, pack_reads, opt.phred64, 1))):
@@ -566,6 +580,9 @@ class SingleEndRunner:
             if w is not None:
                 w.close()
         loginfo(f"SE split processing finished (rank {mh.rank}/{mh.world})")
+        if self._ora_post_defer is not None:
+            from ..host.ora_defer import exchange_and_replay
+            exchange_and_replay(mh, [self._ora_post_defer])
         payload = dict(
             pre=self.pre_stats, post=self.post_stats, fr=self.filter_result,
             dup=None if self.dup is None else self.dup.payload(),
@@ -793,11 +810,24 @@ class SingleEndRunner:
         if opt.over_rep.enabled:
             sampling = opt.over_rep.sampling
             passing = np.flatnonzero(select_pass)
-            for k in range(-self._post_counter % sampling, len(passing), sampling):
-                i = passing[k]
-                s, n = int(front[i]), int(rlen[i])
-                self.post_stats.add_over_rep_read(pack.seq[i, s : s + n].tobytes())
-            self._post_counter += len(passing)
+            if self._ora_post_defer is not None:
+                # multi-host: the global passing prefix is unknown until end
+                # of stream -- spool the passing sequences and replay later
+                # (host/ora_defer.py)
+                from ..host.ora_defer import ragged_gather
+                self._ora_post_defer.add_interval(
+                    self._record_base,
+                    ragged_gather(pack.seq, passing, front[passing],
+                                  rlen[passing]),
+                    rlen[passing])
+            else:
+                for k in range(-self._post_counter % sampling,
+                               len(passing), sampling):
+                    i = passing[k]
+                    s, n = int(front[i]), int(rlen[i])
+                    self.post_stats.add_over_rep_read(
+                        pack.seq[i, s : s + n].tobytes())
+                self._post_counter += len(passing)
 
         failedstr = b"" if unit_bounds is None else \
             [b""] * (len(unit_bounds) - 1)

@@ -335,25 +335,39 @@ def test_multihost_corrupt_input_fails_fast(tmp_path):
         assert "gzip" in err.lower(), err[-500:]
 
 
-def test_multihost_ora_report_deterministic(tmp_path):
-    """Multi-host ORA semantics pinned (VERDICT r3 item 8): post-filter ORA
-    sampling strides per host (PARITY.md documented deviation), so the
-    report is NOT bit-equal to a single-process run -- but for a FIXED world
-    size it must be a fixed function of the input.  Two identical 2-proc
-    runs must produce identical JSON (including the ORA sections), and the
-    ORA section must be present so the assertion bites."""
+def test_multihost_ora_report_world_size_invariant(tmp_path):
+    """Multi-host ORA reports are world-size invariant (VERDICT r4 item 5):
+    post-filter ORA sampling is deferred and replayed against the exact
+    global passing-prefix counts (host/ora_defer.py), so a 2-proc run's
+    JSON -- INCLUDING the ORA sections -- is bit-equal to the 1-proc run.
+    The former per-host-strided deviation (PARITY.md, now deleted) is gone.
+    The ORA section must be non-empty so the assertion bites."""
     argv = ["-i", str(R1), "-o", "out.fq.gz", "-q", "--ora"]
-    _run_multihost(argv, tmp_path / "a", 2)
-    _run_multihost(argv, tmp_path / "b", 2)
-    with open(tmp_path / "a" / "report.json") as f:
-        ja = json.load(f)
-    with open(tmp_path / "b" / "report.json") as f:
-        jb = json.load(f)
+    _run_single(argv, tmp_path / "single")
+    _run_multihost(argv, tmp_path / "mh2", 2)
+    with open(tmp_path / "mh2" / "report.json") as f:
+        jm = json.load(f)
     assert any(
         isinstance(v, dict) and v.get("OverrepresentedSequences")
-        for v in ja.values()), "ORA section missing or empty in 2-proc report"
-    for j in (ja, jb):
-        j.pop("Software", None)  # embeds the run directory
-    diffs = compare_json(ja, jb)
-    assert not diffs, "2-proc ORA report not deterministic:\n" + \
-        "\n".join(diffs[:20])
+        for v in jm.values()), "ORA section missing or empty in 2-proc report"
+    _assert_equal_outputs(tmp_path / "single", tmp_path / "mh2",
+                          ("out.fq.gz",))
+
+
+def test_multihost_ora_pe_merge_world_size_invariant(tmp_path):
+    """PE merge-mode ORA invariance: the merged stream's post1 sampling
+    interleaves merged-read content with unmerged-kept r1 content
+    (peprocessor.cpp:361-379); the deferred replay must reproduce the exact
+    single-process sampled set at world size 2."""
+    argv = ["-i", str(R1), "-I", str(R2), "-o", "out1.fq.gz",
+            "-O", "out2.fq.gz", "-m", "--merge_output", "merged.fq.gz",
+            "-c", "--ora"]
+    _run_single(argv, tmp_path / "single")
+    _run_multihost(argv, tmp_path / "mh2", 2)
+    with open(tmp_path / "mh2" / "report.json") as f:
+        jm = json.load(f)
+    assert any(
+        isinstance(v, dict) and v.get("OverrepresentedSequences")
+        for v in jm.values()), "ORA section missing or empty in 2-proc report"
+    _assert_equal_outputs(tmp_path / "single", tmp_path / "mh2",
+                          ("merged.fq.gz",))
