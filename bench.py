@@ -160,6 +160,14 @@ def gen_polyg_input(dst: str, reps: int = 32) -> int:
     return n_rec * reps
 
 
+def _backend() -> str:
+    try:
+        import jax
+        return jax.default_backend()
+    except Exception:
+        return "unknown"
+
+
 def link_probe_mbps() -> float:
     from fqtool_tpu.host.linkprobe import _probe_mbps
     try:
@@ -370,6 +378,76 @@ def transfer_split(name: str, paired: bool, argv: list,
     return res
 
 
+def golden_on_tpu(oracle_bin: str, workdir: str, paired: bool, name: str,
+                  argv: list) -> bool:
+    """Record-diff a run executed on THIS session's real backend (TPU under
+    the driver) against the oracle at ``-w 1`` on the same replicated bench
+    inputs (VERDICT r4 item 2: the test suite forces jax_platforms=cpu, so
+    without this no oracle diff ever exercises the TPU lowering).  Returns
+    True when every output FASTQ stream is record-identical and the JSON
+    reports match modulo the documented exceptions (tests/oracle.py)."""
+    import subprocess
+
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from fqtool_tpu.main import main as fq_main
+    from tests.oracle import compare_json, read_fastq
+
+    if paired:
+        ours_io = ["-i", "pe1.fq.gz", "-I", "pe2.fq.gz",
+                   "-o", "gto1.fq.gz", "-O", "gto2.fq.gz"]
+        ref_io = ["-i", "pe1.fq.gz", "-I", "pe2.fq.gz",
+                  "-o", "gtr1.fq.gz", "-O", "gtr2.fq.gz"]
+        pairs = [("gto1.fq.gz", "gtr1.fq.gz"), ("gto2.fq.gz", "gtr2.fq.gz")]
+    elif name == "se_polygx":
+        ours_io = ["-i", "polyg.fq", "-o", "gto.fq.gz"]
+        ref_io = ["-i", "polyg.fq", "-o", "gtr.fq.gz"]
+        pairs = [("gto.fq.gz", "gtr.fq.gz")]
+    else:
+        ours_io = ["-i", "se.fq.gz", "-o", "gto.fq.gz"]
+        ref_io = ["-i", "se.fq.gz", "-o", "gtr.fq.gz"]
+        pairs = [("gto.fq.gz", "gtr.fq.gz")]
+    argv_ours = [(a.replace("merged", "gtomerged") if "merged" in a else a)
+                 for a in argv]
+    argv_ref = [(a.replace("merged", "gtrmerged") if "merged" in a else a)
+                for a in argv]
+    if "--merge_output" in argv:
+        pairs.append(("gtomerged.fq.gz", "gtrmerged.fq.gz"))
+
+    rc = fq_main(ours_io + argv_ours + ["-J", "gto.json", "-H", "gto.html"])
+    if rc != 0:
+        sys.stderr.write(f"[bench] {name}: golden run rc={rc}\n")
+        return False
+    r = subprocess.run(
+        [oracle_bin] + ref_io + argv_ref
+        + ["-w", "1", "-J", "gtr.json", "-H", "gtr.html"],
+        cwd=workdir, capture_output=True, timeout=900)
+    if r.returncode != 0:
+        sys.stderr.write(f"[bench] {name}: golden oracle rc={r.returncode}\n")
+        return False
+    ok = True
+    for o, rf in pairs:
+        a = read_fastq(os.path.join(workdir, o))
+        b = read_fastq(os.path.join(workdir, rf))
+        if a != b:
+            first = next((i for i, (x, y) in enumerate(zip(a, b)) if x != y),
+                         min(len(a), len(b)))
+            sys.stderr.write(f"[bench] {name}: {o} differs from oracle "
+                             f"({len(a)} vs {len(b)} records, first diff at "
+                             f"record {first})\n")
+            ok = False
+    with open(os.path.join(workdir, "gto.json")) as f:
+        ja = json.load(f)
+    with open(os.path.join(workdir, "gtr.json")) as f:
+        jb = json.load(f)
+    diffs = compare_json(ja, jb)
+    if diffs:
+        sys.stderr.write(f"[bench] {name}: JSON diffs vs oracle: "
+                         + "; ".join(diffs[:5]) + "\n")
+        ok = False
+    return ok
+
+
 def multihost_scaling(workdir: str, config: str = "se_qualtrim") -> dict:
     """Localhost multi-host scaling (BASELINE.md north star: >=90% linear
     reads/s scaling to N hosts **on SE and PE pipelines**): 1/2/4 processes
@@ -558,6 +636,7 @@ def main() -> None:
     stages = {}
     device_only = {}
     splits = {}
+    golden = {}
     cwd = os.getcwd()
     os.chdir(workdir)
     try:
@@ -635,6 +714,16 @@ def main() -> None:
                                  f"{splits[name]}\n")
             except Exception as e:
                 sys.stderr.write(f"[bench] {name}: transfer split failed: {e}\n")
+            if oracle_bin:
+                try:
+                    golden[name] = golden_on_tpu(oracle_bin, workdir, paired,
+                                                 name, argv)
+                    sys.stderr.write(f"[bench] {name}: golden on "
+                                     f"{_backend()}: {golden[name]}\n")
+                except Exception as e:
+                    golden[name] = False
+                    sys.stderr.write(f"[bench] {name}: golden diff failed: "
+                                     f"{e!r}\n")
         scaling = {}
         if not QUICK and os.environ.get("FQTOOL_TPU_BENCH_MH", "1") == "1":
             # SE keeps the legacy flat keys; the PE pipeline (north star
@@ -661,6 +750,8 @@ def main() -> None:
         "transfer_split": splits,
         "link_mbps": link_mbps,
         "multihost_scaling": scaling,
+        "golden_on_tpu": golden,
+        "golden_backend": _backend(),
     }
     try:
         with open(os.path.join(REPO, "bench_details.json"), "w") as f:
@@ -693,6 +784,8 @@ def main() -> None:
         "transfer_split": splits,
         "link_mbps": link_mbps,
         "multihost_scaling": scaling,
+        "golden_on_tpu": golden,
+        "golden_backend": _backend(),
     }))
     sys.stdout.flush()
 

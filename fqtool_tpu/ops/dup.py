@@ -83,7 +83,10 @@ def _pack_2bit(codes: jnp.ndarray, start: jnp.ndarray, n: int) -> tuple[jnp.ndar
 
 def _gc_byte(seq: jnp.ndarray, rlen: jnp.ndarray, total_len: jnp.ndarray) -> jnp.ndarray:
     mask = valid_mask(rlen, seq.shape[1])
-    gc = jnp.sum(mask & ((seq == C) | (seq == G)), axis=1).astype(jnp.float32)
+    # the reference accumulates the GC count in a uint8 (duplicate.cpp:83-92),
+    # so reads with >255 GC bases wrap mod 256 before the scale
+    gc = (jnp.sum(mask & ((seq == C) | (seq == G)), axis=1)
+          % 256).astype(jnp.float32)
     tl = jnp.maximum(total_len, 1).astype(jnp.float32)
     # std::round = half away from zero = floor(x + 0.5) for non-negative x
     return jnp.floor(255.0 * gc / tl + 0.5).astype(jnp.uint8)
@@ -119,5 +122,8 @@ def dup_keys_pe(seq1: jnp.ndarray, rlen1: jnp.ndarray,
     gc1 = jnp.sum(mask1 & ((seq1 == C) | (seq1 == G)), axis=1)
     gc2 = jnp.sum(mask2 & ((seq2 == C) | (seq2 == G)), axis=1)
     tl = jnp.maximum(rlen1 + rlen2, 1).astype(jnp.float32)
-    gc = jnp.floor(255.0 * (gc1 + gc2).astype(jnp.float32) / tl + 0.5).astype(jnp.uint8)
+    # uint8 accumulator wrap: a pair with >255 GC bases wraps mod 256 in the
+    # reference (duplicate.cpp:114-127 accumulates into uint8_t gc)
+    gcw = ((gc1 + gc2) % 256).astype(jnp.float32)
+    gc = jnp.floor(255.0 * gcw / tl + 0.5).astype(jnp.uint8)
     return DupKeys(key.astype(jnp.int32), hi, lo, gc, valid, key_hi)
