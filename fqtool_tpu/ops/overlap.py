@@ -35,9 +35,6 @@ from .common import (A, C, G, N, T, complement, first_true, positions,
 
 COMPLETE_COMPARE_REQUIRE = 50  # overlapanalysis.cpp:14
 
-# accept-scan lowering gate: below this many bytes of stacked slices, use
-# the W-slice stack; above it, the O(B*offsets) unrolled accumulator
-_STACK_LIMIT = 1 << 30
 
 
 class OverlapResult(NamedTuple):
@@ -63,27 +60,19 @@ def _phase_scan50(head: jnp.ndarray, moving: jnp.ndarray, O: int,
     ``head``: [B, >=W]; ``moving``: [B, >=O+W] (already padded); compares
     moving[b, o+i] vs head[b, i] for i < min(ol, W) at every offset o.
 
-    Two equivalent lowerings, both keeping the offset axis on the 128-lane
-    minor dimension (~20x faster on v5e than the [B, O, W] window stack with
-    W=50 minor this replaced -- 3.5 vs 76 ms for a 16k x 152 chunk):
-      * short reads: W stacked [B, O] slices, one reduction over the stack;
-      * long reads (stack past ~1 GiB): W unrolled adds into one [B, O]
-        accumulator -- O(B*O) memory, so chunks never shrink with width
-        (~10% slower than the stack at 152 bp, measured)."""
+    Lowering: W unrolled adds into one [B, O] uint8 accumulator (d50 <= 50
+    always fits), keeping the offset axis on the 128-lane minor dimension
+    and nothing materialized beyond [B, O] planes.  Measured on v5e
+    (16k x 152 chunk, whole analyze): 0.78 ms vs 2.20 ms for the
+    [B, W, O] slice-stack this replaces (the stack writes+reads a
+    [B, 50, O] intermediate, ~100 MB at this shape) and 76 ms for the
+    [B, O, W] window stack before that."""
     W = COMPLETE_COMPARE_REQUIRE
-    B = head.shape[0]
-    if B * O * W * 3 <= _STACK_LIMIT:
-        sl = jnp.stack([moving[:, i : i + O] for i in range(W)],
-                       axis=1)  # [B, W, O]
-        neq = sl != head[:, :W, None]
-        in_ol = positions(W)[0][None, :, None] < ol[:, None, :]
-        d50 = jnp.sum(neq & in_ol, axis=1).astype(jnp.int32)
-    else:
-        d50 = jnp.zeros(ol.shape, jnp.int32)
-        for i in range(W):
-            neq = moving[:, i : i + O] != head[:, i][:, None]
-            d50 = d50 + jnp.where(neq & (i < ol), 1, 0)
-    hit = (d50 < diff_limit) & valid
+    d50u = jnp.zeros(ol.shape, jnp.uint8)
+    for i in range(W):
+        neq = moving[:, i : i + O] != head[:, i][:, None]
+        d50u = d50u + (neq & (i < ol)).astype(jnp.uint8)
+    hit = (d50u.astype(jnp.int32) < diff_limit) & valid
     found = jnp.any(hit, axis=1)
     sel = first_true(hit, jnp.int32(0))
     # masked lane reduction instead of a [B, O] -> [B] per-row gather (the

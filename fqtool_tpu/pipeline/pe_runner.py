@@ -308,6 +308,8 @@ class PairEndRunner:
         for w in writers.values():
             w.close()
         loginfo(f"PE processing finished (rank {mh.rank}/{mh.world})")
+        from ..host import tracing
+        tracing.mark("stream_done")
         self._replay_ora_defer(mh)
         payload = dict(
             pre1=self.pre1, pre2=self.pre2, post1=self.post1, post2=self.post2,
@@ -315,6 +317,7 @@ class PairEndRunner:
             dup=None if self.dup is None else self.dup.payload(),
             idx={name: w.index for name, w in writers.items()})
         gathered = mh.gather(payload)
+        tracing.mark("gather_done")
         if mh.rank == 0:
             for pl in gathered[1:]:
                 self.pre1.merge(pl["pre1"])
@@ -328,6 +331,7 @@ class PairEndRunner:
             for name, w in writers.items():
                 mh.merge_stream(w.final_path, opt.compression,
                                 [pl["idx"].get(name, []) for pl in gathered])
+            tracing.mark("merge_done")
             self.write_reports()
         mh.barrier()
 
