@@ -589,17 +589,20 @@ def multihost_scaling(workdir: str, config: str = "se_qualtrim") -> dict:
     # 2-proc wall -- the quantity BASELINE.md's north star describes is
     # steady-state streaming, not process launch
     if config == "pe_full":
+        # 400k pairs: the CPU-backend PE pipeline streams ~6.5k reads/s per
+        # pinned core, so 800k reads keeps the whole PE block under ~8 min
+        # while steady walls stay 6-30x the ~4 s startup
         for side in (1, 2):
             replicate(f"{TESTDATA}/r{side}.fq.gz",
-                      f"{workdir}/mhp{side}.fq.gz", 64)
+                      f"{workdir}/mhp{side}.fq.gz", 32)
             for n in (2, 4):
                 replicate(f"{TESTDATA}/r{side}.fq.gz",
-                          f"{workdir}/mhp{side}_part{n}.fq.gz", 64 // n)
+                          f"{workdir}/mhp{side}_part{n}.fq.gz", 32 // n)
         pipe_args = ["-q", "--kmer", "--kmer_length", "6", "-d", "-a",
                      "--detect_pe_adapter"]
         argv = ["-i", "mhp1.fq.gz", "-I", "mhp2.fq.gz",
                 "-o", "out.fq.gz", "-O", "out2.fq.gz"] + pipe_args
-        n_reads = 1_600_000  # 800k pairs
+        n_reads = 800_000  # 400k pairs
 
         def control_args(nprocs, r):
             return ["-i", f"mhp1_part{nprocs}.fq.gz",
@@ -607,6 +610,10 @@ def multihost_scaling(workdir: str, config: str = "se_qualtrim") -> dict:
                     "-o", f"ctl{nprocs}_{r}.fq.gz",
                     "-O", f"ctl{nprocs}_{r}_2.fq.gz"] + pipe_args
         compare_outs = ["out.fq.gz", "out2.fq.gz"]
+        # PE ownership quantum is the device chunk; halve it so 400k pairs
+        # split into ~49 units instead of ~24 (the ceil-at-region-boundary
+        # skew is ~1 unit per rank).  Applied to every run in the comparison.
+        config_env = {"FQTOOL_TPU_PE_CHUNK": "8192"}
     else:
         replicate(f"{TESTDATA}/r1.fq.gz", f"{workdir}/mh.fq.gz", 128)
         for n in (2, 4):
@@ -620,6 +627,7 @@ def multihost_scaling(workdir: str, config: str = "se_qualtrim") -> dict:
             return ["-i", f"mh_part{nprocs}.fq.gz",
                     "-o", f"ctl{nprocs}_{r}.fq.gz"] + pipe_args
         compare_outs = ["out.fq.gz"]
+        config_env = {}
 
     def free_port():
         with socket.socket() as s:
@@ -636,8 +644,16 @@ def multihost_scaling(workdir: str, config: str = "se_qualtrim") -> dict:
             "FQTOOL_TPU_NO_JAX_DIST": "1",
             "FQTOOL_TPU_TRACE": "0",
             "FQTOOL_TPU_TIMING_JSON": f"timing_{tag}_{rank}.json",
+            # finer ownership quantum for the scaling measurement: region
+            # boundaries ceil to whole units (a rank cannot read backward
+            # into a peer's byte region), so quantization skew is ~1 unit
+            # per rank -- 8192 halves it vs the 16384 default.  Applied to
+            # every run in the comparison (1-proc, N-proc, controls), so
+            # outputs stay byte-identical across world sizes.
+            "FQTOOL_TPU_WRITE_UNIT": "8192",
             "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
         })
+        env.update(config_env)
         env.update(extra_env)
         pin = (["taskset", "-c", str(rank % (os.cpu_count() or 1))]
                if shutil.which("taskset") else [])

@@ -148,6 +148,17 @@ def _scan_region(path: str, gz: bool, lo: int, hi: int,
     spool = None
     spool_path = None
     spooled = 0
+    # cap the spool at the expected inflated size (~8x the compressed
+    # region is generous for FASTQ) and at half the spool dir's free space,
+    # so a RAM-backed /dev/shm is never pinned to the 4 GiB global cap by a
+    # small input or squeezed when the fs is nearly full
+    cap = min(_SPOOL_CAP, 8 * max(hi - lo, 1))
+    if spool_dir is not None:
+        try:
+            st = os.statvfs(spool_dir)
+            cap = min(cap, st.f_bavail * st.f_frsize // 2)
+        except OSError:
+            pass
 
     def spool_write(data: bytes) -> None:
         # spool failure (ENOSPC, cap overflow) only loses the optimization:
@@ -157,7 +168,7 @@ def _scan_region(path: str, gz: bool, lo: int, hi: int,
             return
         spooled += len(data)
         try:
-            if spooled > _SPOOL_CAP:
+            if spooled > cap:
                 raise OSError("spool cap")
             spool.write(data)
         except OSError:
@@ -230,6 +241,18 @@ def _scan_region(path: str, gz: bool, lo: int, hi: int,
     res["clean"] = clean
     res["spool"] = spool_path if clean else _drop_spool(spool_path)
     return res
+
+
+# malformed-input messages observed by this rank's materializer, for the
+# end-of-stream gather (one rank's trailing-record error must reach rank 0's
+# stderr, not scroll past in a worker's log)
+_stream_errors: List[str] = []
+
+
+def drain_stream_errors() -> List[str]:
+    errs = _stream_errors[:]
+    _stream_errors.clear()
+    return errs
 
 
 def _drop_spool(path: Optional[str]):
@@ -565,9 +588,13 @@ class _PackMaterializer:
                 buf, n_records, final=self._eof)
             if n >= n_records or self._eof or err:
                 if err:
-                    sys.stderr.write(
-                        "Error: base sequnce and quality sequence have "
-                        "different length\n")
+                    msg = ("Error: base sequnce and quality sequence have "
+                           "different length")
+                    sys.stderr.write(msg + "\n")
+                    # in multi-host runs only the rank owning the final pack
+                    # sees this; record it so the end-of-stream gather can
+                    # surface it on rank 0 too (drain_stream_errors)
+                    _stream_errors.append(msg)
                 if n < n_records and not err:
                     raise RuntimeError(
                         "parallel ingest: plan/stream record mismatch "

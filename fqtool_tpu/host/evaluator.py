@@ -489,9 +489,14 @@ def _load_record_matrix(filename: str, read_limit: int,
         reader.close()
     if not mats:
         return np.zeros((0, 0), np.uint8), np.zeros(0, np.int32)
-    width = max(m.shape[1] for m in mats)
-    mats = [np.pad(m, ((0, 0), (0, width - m.shape[1]))) for m in mats]
-    return np.concatenate(mats), np.concatenate(lens_parts)
+    # width from the TAKEN rows rounded to the pack width multiple -- the
+    # same rule as the head-cache path, so both produce identical arrays
+    all_lens = np.concatenate(lens_parts)
+    width = -(-int(all_lens.max(initial=1)) // 8) * 8
+    mats = [m[:, :width] if m.shape[1] >= width
+            else np.pad(m, ((0, 0), (0, width - m.shape[1])))
+            for m in mats]
+    return np.concatenate(mats), all_lens
 
 
 def _count_seed_kmers(mat: np.ndarray, lens: np.ndarray, keylen: int,

@@ -155,9 +155,16 @@ class HeadCache:
             bases += int(lens[:take].sum())
         if not mats:
             return np.zeros((0, 0), np.uint8), np.zeros(0, np.int32)
-        width = max(m.shape[1] for m in mats)
-        mats = [np.pad(m, ((0, 0), (0, width - m.shape[1]))) for m in mats]
-        return np.concatenate(mats), np.concatenate(lens_parts)
+        # width from the TAKEN rows (rounded to the pack width multiple), not
+        # the full main-pass pack -- so the cached and uncached detection
+        # paths produce byte-identical matrices (ADVICE r4: results were
+        # already equivalent, but identical artifacts are easier to debug)
+        all_lens = np.concatenate(lens_parts)
+        width = -(-int(all_lens.max(initial=1)) // 8) * 8
+        mats = [m[:, :width] if m.shape[1] >= width
+                else np.pad(m, ((0, 0), (0, width - m.shape[1])))
+                for m in mats]
+        return np.concatenate(mats), all_lens
 
     def seq_prefix(self, base_limit: int) -> Tuple[np.ndarray, np.ndarray]:
         """(flat, lens) of records taken while the running base count stays

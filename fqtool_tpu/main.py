@@ -168,10 +168,12 @@ def _run(opt: Options) -> None:
         headcache.discard_all()
 
 
-def _prepass(opt: Options) -> None:
+def _prepass(opt: Options, skip_r2_detect: bool = False) -> None:
     """Evaluation pre-passes (main.cpp:128-143).  The read-number estimate
     scans up to 512Ki records but is consumed only by -s split sizing
-    (main.cpp:132-135), so it runs only when needed."""
+    (main.cpp:132-135), so it runs only when needed.  ``skip_r2_detect``:
+    a multi-host peer is running the R2 adapter scan concurrently
+    (_prepass_multihost)."""
     evaluator.evaluate_read_len(opt)
     if opt.split.by_file_number:
         evaluator.evaluate_read_num(opt)
@@ -180,6 +182,9 @@ def _prepass(opt: Options) -> None:
     if opt.over_rep.enabled:
         evaluator.evaluate_over_rep_seqs(opt)
     if opt.adapter.enable_detect_for_pe:
+        if skip_r2_detect:
+            evaluator.evaluate_adapter_seq(opt, False)
+            return
         # independent full-prefix scans of R1 and R2 (the reference runs
         # them back to back, main.cpp:141-142); each writes only its own
         # opt.adapter field and the scan path is matrix/native code that
@@ -207,13 +212,35 @@ def _prepass_multihost(opt: Options, mh) -> None:
     """The pre-passes scan a bounded input head; running them on every rank
     would duplicate that scan O(world) times (and contend for the same
     storage/CPU).  The reference runs them exactly once before its worker
-    threads start (main.cpp:128-143) -- the multi-host equivalent is
-    rank 0 runs them once and broadcasts the handful of derived values
-    (two read lengths, a record-count estimate, two ORS count dicts, two
-    adapter strings)."""
+    threads start (main.cpp:128-143) -- the multi-host equivalent is the
+    pre-pass work runs once ACROSS the group and the handful of derived
+    values (two read lengths, a record-count estimate, two ORS count
+    dicts, two adapter strings) is broadcast.
+
+    The one splittable piece -- PE adapter detection is two independent
+    full-prefix scans of R1 and R2 -- runs on ranks 0 and 1 concurrently
+    (real separate hosts halve the serial prepass wall that gates every
+    rank's stream start); rank 0 merges rank 1's two fields in the gather
+    before broadcasting."""
     from .host import tracing
+    split_detect = opt.adapter.enable_detect_for_pe and mh.world >= 2
     if mh.rank == 0:
-        _prepass(opt)
+        _prepass(opt, skip_r2_detect=split_detect)
+        part = None
+    elif mh.rank == 1 and split_detect:
+        evaluator.evaluate_adapter_seq(opt, True)
+        part = {"adapter.detected_adapter_seq_r2":
+                opt.adapter.detected_adapter_seq_r2,
+                "est.illumina_adapter": opt.est.illumina_adapter}
+    else:
+        part = None
+    gathered = mh.gather(part)
+    if mh.rank == 0:
+        if split_detect and gathered[1]:
+            opt.adapter.detected_adapter_seq_r2 = \
+                gathered[1]["adapter.detected_adapter_seq_r2"]
+            opt.est.illumina_adapter = (opt.est.illumina_adapter
+                                        or gathered[1]["est.illumina_adapter"])
         mh.broadcast({f"{s}.{f}": getattr(getattr(opt, s), f)
                       for s, f in _PREPASS_FIELDS})
     else:

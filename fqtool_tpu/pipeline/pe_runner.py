@@ -267,6 +267,7 @@ class PairEndRunner:
         """Multi-host run: process owned pair packs, write pack-indexed part
         files per output stream, reduce accumulators to rank 0, which merges
         the streams and writes the reports (dist/multihost.py)."""
+        from ..dist import multihost
         opt = self.opt
         if opt.split.enabled:
             self._run_mh_split(mh)
@@ -315,10 +316,12 @@ class PairEndRunner:
             pre1=self.pre1, pre2=self.pre2, post1=self.post1, post2=self.post2,
             fr=self.filter_result, insert_hist=self.insert_hist,
             dup=None if self.dup is None else self.dup.payload(),
+            errs=multihost.drain_stream_errors(),
             idx={name: w.index for name, w in writers.items()})
         gathered = mh.gather(payload)
         tracing.mark("gather_done")
         if mh.rank == 0:
+            multihost.surface_stream_errors(gathered)
             for pl in gathered[1:]:
                 self.pre1.merge(pl["pre1"])
                 self.pre2.merge(pl["pre2"])
@@ -341,6 +344,7 @@ class PairEndRunner:
         numbered files; the non-split streams (unpaired/merged/failed) merge
         as single streams with the same per-pack framing the single-process
         split path writes them with (see SingleEndRunner._run_mh_split)."""
+        from ..dist import multihost
         opt = self.opt
         from .runner import replay_split_rotation, split_file_name
         maybe_enable_sharding(pe_pipeline_call, pe_packed_call,
@@ -378,9 +382,11 @@ class PairEndRunner:
             fr=self.filter_result, insert_hist=self.insert_hist,
             dup=None if self.dup is None else self.dup.payload(),
             rot=rotation,
+            errs=multihost.drain_stream_errors(),
             idx={name: w.index for name, w in writers.items()})
         gathered = mh.gather(payload)
         if mh.rank == 0:
+            multihost.surface_stream_errors(gathered)
             for pl in gathered[1:]:
                 self.pre1.merge(pl["pre1"])
                 self.pre2.merge(pl["pre2"])

@@ -480,6 +480,7 @@ class SingleEndRunner:
         """Multi-host run: process owned packs, write pack-indexed part
         files, reduce accumulators to rank 0, which merges the output streams
         and writes the reports (dist/multihost.py)."""
+        from ..dist import multihost
         opt = self.opt
         if opt.split.enabled:
             self._run_mh_split(mh)
@@ -525,10 +526,12 @@ class SingleEndRunner:
         payload = dict(
             pre=self.pre_stats, post=self.post_stats, fr=self.filter_result,
             dup=None if self.dup is None else self.dup.payload(),
+            errs=multihost.drain_stream_errors(),
             idx={name: w.index for name, w in writers.items()})
         gathered = mh.gather(payload)
         tracing.mark("gather_done")
         if mh.rank == 0:
+            multihost.surface_stream_errors(gathered)
             for pl in gathered[1:]:
                 self.pre_stats.merge(pl["pre"])
                 self.post_stats.merge(pl["post"])
@@ -553,6 +556,7 @@ class SingleEndRunner:
         ``(count, read_passed)`` sequence to route every pack's spans to the
         same numbered file -- bytes identical to the single-process run
         (reference rotation: src/threadconfig.cpp:88-137)."""
+        from ..dist import multihost
         opt = self.opt
         maybe_enable_sharding(se_pipeline_call, se_packed_call,
                               se_packed5_call)
@@ -587,10 +591,12 @@ class SingleEndRunner:
             pre=self.pre_stats, post=self.post_stats, fr=self.filter_result,
             dup=None if self.dup is None else self.dup.payload(),
             rot=rotation,
+            errs=multihost.drain_stream_errors(),
             idx={name: w.index for name, w in
                  (("out1", w_split), ("failed", w_failed)) if w is not None})
         gathered = mh.gather(payload)
         if mh.rank == 0:
+            multihost.surface_stream_errors(gathered)
             for pl in gathered[1:]:
                 self.pre_stats.merge(pl["pre"])
                 self.post_stats.merge(pl["post"])

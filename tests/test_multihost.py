@@ -371,3 +371,55 @@ def test_multihost_ora_pe_merge_world_size_invariant(tmp_path):
         for v in jm.values()), "ORA section missing or empty in 2-proc report"
     _assert_equal_outputs(tmp_path / "single", tmp_path / "mh2",
                           ("merged.fq.gz",))
+
+
+def test_multihost_malformed_tail_surfaces_on_rank0(tmp_path):
+    """A trailing seq/qual length mismatch must reach rank 0's stderr, not
+    scroll past in one worker's log while rank 0 exits clean (ADVICE r4).
+
+    Two paths can satisfy this: the region planner's strictness proof
+    rejects the malformed file, so every rank falls back to the serial
+    reader and reports the error locally (the path this input takes); and
+    for errors that reach the planned materializer, the end-of-stream
+    gather re-prints peers' messages on rank 0
+    (ingest.drain_stream_errors / multihost.surface_stream_errors)."""
+    import gzip as _gzip
+
+    lines = _gzip.open(R1).read().split(b"\n")
+    recs = [b"\n".join(lines[i : i + 4]) for i in range(0, 4 * 256, 4)]
+    name, seq, strand, qual = recs[-1].split(b"\n")
+    recs[-1] = b"\n".join((name, seq, strand, qual[:-1]))  # short quality
+    inp = tmp_path / "bad.fq"
+    inp.write_bytes(b"\n".join(recs) + b"\n")
+
+    workdir = tmp_path / "mh"
+    workdir.mkdir()
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = os.environ.copy()
+        env.update(_CHUNK_ENV)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env.update({
+            "FQTOOL_TPU_COORDINATOR": f"127.0.0.1:{port}",
+            "FQTOOL_TPU_NPROCS": "2",
+            "FQTOOL_TPU_PROC_ID": str(rank),
+            "FQTOOL_TPU_PLATFORM": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+            # small units so the 256-record input spans both ranks' plans
+            "FQTOOL_TPU_WRITE_UNIT": "64",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "fqtool_tpu.main",
+             "-i", str(inp), "-o", "out.fq.gz", "-q"], cwd=workdir,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    errs = []
+    for rank, p in enumerate(procs):
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"rank {rank} rc={p.returncode}:\n{err}"
+        errs.append(err)
+    msg = "base sequnce and quality sequence have different length"
+    assert msg in errs[1], "owning rank did not report the malformed tail"
+    assert msg in errs[0], \
+        "rank 0 did not surface the malformed-input error:\n" + errs[0]
