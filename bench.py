@@ -457,26 +457,34 @@ def cold_start(workdir: str) -> dict:
     env = os.environ.copy()
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["FQTOOL_TPU_TRACE"] = "0"
+    # the raw 12.5k-read testdata: cold wall is startup-dominated by
+    # construction, and a transient attachment stall (the link swings
+    # 1-65 MB/s) costs minutes, not the whole bench
     for name, argv, io in (
         ("se_qualtrim", ["-q", "-f", "3", "-t", "2"],
-         ["-i", "se.fq.gz", "-o", "cold.fq.gz"]),
+         ["-i", f"{TESTDATA}/r1.fq.gz", "-o", "cold.fq.gz"]),
         ("pe_full", ["-q", "--kmer", "--kmer_length", "6", "-d", "-a",
                      "--detect_pe_adapter"],
-         ["-i", "pe1.fq.gz", "-I", "pe2.fq.gz",
+         ["-i", f"{TESTDATA}/r1.fq.gz", "-I", f"{TESTDATA}/r2.fq.gz",
           "-o", "cold1.fq.gz", "-O", "cold2.fq.gz"]),
     ):
         walls = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            r = subprocess.run(
-                [sys.executable, "-m", "fqtool_tpu.main"] + io + argv,
-                cwd=workdir, env=env, capture_output=True, timeout=900)
-            walls.append(round(time.perf_counter() - t0, 3))
-            if r.returncode != 0:
-                sys.stderr.write(f"[bench] cold {name} rc={r.returncode}: "
-                                 f"{r.stderr[-200:]}\n")
-                walls[-1] = None
-                break
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                r = subprocess.run(
+                    [sys.executable, "-m", "fqtool_tpu.main"] + io + argv,
+                    cwd=workdir, env=env, capture_output=True, timeout=300)
+                walls.append(round(time.perf_counter() - t0, 3))
+                if r.returncode != 0:
+                    sys.stderr.write(f"[bench] cold {name} rc={r.returncode}:"
+                                     f" {r.stderr[-200:]}\n")
+                    walls[-1] = None
+                    break
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"[bench] cold {name}: attachment stall "
+                             "(>300s); skipping\n")
+            walls.append(None)
         out[name] = {"cold_first_wall_s": walls[0],
                      "cold_wall_s": walls[-1]}
     return out
@@ -868,7 +876,7 @@ def main() -> None:
             r = results.get(cname)
             if not (r and c.get("cold_wall_s") and "fair_baseline" in r):
                 continue
-            reads = (400_000 if cname.startswith("se") else 200_000)
+            reads = (12_500 if cname.startswith("se") else 25_000)
             ours, fair = r["reads_per_sec"], r["fair_baseline"]
             c["startup_s"] = round(max(c["cold_wall_s"] - reads / ours, 0.0), 3)
             if ours > fair:
