@@ -720,12 +720,22 @@ def multihost_scaling(workdir: str, config: str = "se_qualtrim") -> dict:
         if not warmed:
             warmed = True
             run_group(nprocs)      # warm-up: persistent-cache compiles
-        full, steady = min(run_group(nprocs) for _ in range(2))  # box noise
+        if nprocs > 1:
+            # INTERLEAVE group and control reps: shared-infra transients
+            # (observed: a ~2-min slowdown hitting only the back-to-back
+            # group reps skewed one capture's efficiency_4 from ~1.0 to
+            # 0.71) then bias both sides equally under the min
+            walls_g = [run_group(nprocs)]
+            walls_c = [run_control(nprocs)]
+            walls_g.append(run_group(nprocs))
+            walls_c.append(run_control(nprocs))
+            full, steady = min(walls_g)
+            _, ctl = min(walls_c)
+            res[f"ideal_{nprocs}"] = round(n_reads / ctl, 1)
+        else:
+            full, steady = min(run_group(nprocs) for _ in range(2))
         res[str(nprocs)] = round(n_reads / steady, 1)
         res[f"full_{nprocs}"] = round(n_reads / full, 1)
-        if nprocs > 1:
-            _, ctl = min(run_control(nprocs) for _ in range(2))
-            res[f"ideal_{nprocs}"] = round(n_reads / ctl, 1)
         outs = [os.path.join(workdir,
                              o if nprocs == 1 else o.replace("out", f"out_mh{nprocs}"))
                 for o in compare_outs]
