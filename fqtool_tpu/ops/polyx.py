@@ -81,28 +81,41 @@ def trim_polyx(seq: jnp.ndarray, rlen: jnp.ndarray, trim_chr: str,
                compare_req: int, max_mismatch: int, each: int) -> PolyTrimResult:
     """reference: src/polyx.cpp:45-101.
 
-    The five cumulative ATCGN tallies are packed into TWO int32 cumsum
-    planes (10-bit fields: A/T/C in one, G/N in the other) when the width
-    allows -- the per-base cumsums were the measured device-time outlier
-    (round-3 device-only: 4.9M reads/s vs 12.3M for qualcut).  Counter
-    fields cannot overflow while L <= 1023; wider reads fall back to the
-    five-plane layout.  Bit-identical either way."""
+    The cumulative ATCGN tallies are packed into ONE int32 cumsum plane
+    when the width allows (L <= 255: four 8-bit A/T/C/G fields, with the
+    N tally DERIVED as scanned-count minus the four -- the five classes
+    partition the scanned columns), falling back to two 10-bit-field
+    planes for L <= 1023 and five planes beyond.  The per-base cumsums
+    were the measured device-time outlier (round-3 device-only: 4.9M
+    reads/s vs 12.3M for qualcut; round 5: 1.59 -> 0.85 ms per 64k chunk
+    from the single-plane layout + replacing the 6-entry LUT gather with
+    a select chain).  Counter fields cannot overflow at their width
+    bound; bit-identical on every path (fuzz-validated incl. N's)."""
     B, L = seq.shape
     rev, iq, mask = _scan_frame(seq, rlen)
     in_trim = [c in trim_chr for c in "ATCGN"]
+    cmp = iq + 1
 
-    if L <= 1023:
+    if L <= 255:
+        contrib = jnp.where(rev == A, 1,
+                  jnp.where(rev == T, 1 << 8,
+                  jnp.where(rev == C, 1 << 16,
+                  jnp.where(rev == G, 1 << 24, 0))))
+        c1 = jnp.cumsum(jnp.where(mask, contrib, 0).astype(jnp.int32), axis=1)
+        f = jnp.int32(255)
+        counts = [c1 & f, (c1 >> 8) & f, (c1 >> 16) & f, (c1 >> 24) & f]
+        counts.append(jnp.maximum(cmp, 0)
+                      - counts[0] - counts[1] - counts[2] - counts[3])
+    elif L <= 1023:
         # base class per column: A=0 T=1 C=2 G=3 other=4; masked-out
         # columns get class 5 (tallies nothing)
-        cls = jnp.where(rev == A, 0,
-              jnp.where(rev == T, 1,
-              jnp.where(rev == C, 2,
-              jnp.where(rev == G, 3, 4))))
-        cls = jnp.where(mask, cls, 5).astype(jnp.int32)
-        lut1 = jnp.array([1, 1 << 10, 1 << 20, 0, 0, 0], jnp.int32)
-        lut2 = jnp.array([0, 0, 0, 1, 1 << 10, 0], jnp.int32)
-        c1 = jnp.cumsum(lut1[cls], axis=1)
-        c2 = jnp.cumsum(lut2[cls], axis=1)
+        contrib1 = jnp.where(rev == A, 1,
+                   jnp.where(rev == T, 1 << 10,
+                   jnp.where(rev == C, 1 << 20, 0)))
+        contrib2 = jnp.where((rev == A) | (rev == T) | (rev == C), 0,
+                   jnp.where(rev == G, 1, 1 << 10))
+        c1 = jnp.cumsum(jnp.where(mask, contrib1, 0).astype(jnp.int32), axis=1)
+        c2 = jnp.cumsum(jnp.where(mask, contrib2, 0).astype(jnp.int32), axis=1)
         f = jnp.int32(1023)
         counts = [c1 & f, (c1 >> 10) & f, (c1 >> 20) & f,
                   c2 & f, (c2 >> 10) & f]
@@ -117,7 +130,6 @@ def trim_polyx(seq: jnp.ndarray, rlen: jnp.ndarray, trim_chr: str,
             counts.append(jnp.cumsum(hit.astype(jnp.int32), axis=1))
 
     allowed = _allowed_mismatch(iq, max_mismatch, each)
-    cmp = iq + 1
     # continue while ANY trim base still fits the budget (polyx.cpp:71-79)
     keep_going = jnp.zeros((B, L), bool)
     for b in range(5):
