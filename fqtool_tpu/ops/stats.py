@@ -47,8 +47,10 @@ def stat_batch(seq: jnp.ndarray, qual: jnp.ndarray, rlen: jnp.ndarray,
     # MAC overcount that still wins 60x on v5e (0.76 -> 0.012 ms per
     # 16k x 152 call) because the MXU is otherwise idle.  The g == g'
     # diagonal is extracted with an eye-contraction (no gathers).
-    # bf16 inputs are exact (0/1 and qualities <= 60), f32 accumulation is
-    # exact below 2^24.
+    # int8 operands (0/1 one-hots, quality offsets <= 93) with int32
+    # accumulation are exact and halve the operand-construction traffic
+    # vs bf16 (0.66 -> 0.56 ms per 64k call, the remaining cost is the
+    # [B, 8, L] one-hot materialization itself).
     G = 16
     Lp = -(-L // G) * G
     if Lp != L:
@@ -63,20 +65,20 @@ def stat_batch(seq: jnp.ndarray, qual: jnp.ndarray, rlen: jnp.ndarray,
     qoff = jnp.where(mask, qv - 33, 0)
 
     oh = jnp.stack([mask & ((seq & 0x07) == k) for k in range(8)],
-                   axis=1).astype(jnp.bfloat16)            # [B, 8, Lp]
-    w = jnp.stack([mask.astype(jnp.bfloat16),
-                   q20.astype(jnp.bfloat16),
-                   q30.astype(jnp.bfloat16),
-                   qoff.astype(jnp.bfloat16)], axis=1)     # [B, 4, Lp]
+                   axis=1).astype(jnp.int8)                # [B, 8, Lp]
+    w = jnp.stack([mask.astype(jnp.int8),
+                   q20.astype(jnp.int8),
+                   q30.astype(jnp.int8),
+                   qoff.astype(jnp.int8)], axis=1)         # [B, 4, Lp]
     nb = Lp // G
     lhs = oh.reshape(B, 8, nb, G).transpose(0, 2, 1, 3).reshape(B, nb, 8 * G)
     rhs = w.reshape(B, 4, nb, G).transpose(0, 2, 1, 3).reshape(B, nb, 4 * G)
     hist = jax.lax.dot_general(
         lhs, rhs, (((0,), (0,)), ((1,), (1,))),
-        preferred_element_type=jnp.float32)                # [nb, 8G, 4G]
-    eye = jnp.eye(G, dtype=jnp.float32)
+        preferred_element_type=jnp.int32)                  # [nb, 8G, 4G]
+    eye = jnp.eye(G, dtype=jnp.int32)
     cq = jnp.einsum("nkgjh,gh->kjng", hist.reshape(nb, 8, G, 4, G),
-                    eye).reshape(8, 4, Lp)[:, :, :L].astype(jnp.int32)
+                    eye).reshape(8, 4, Lp)[:, :, :L]
 
     if select is None:
         nreads = jnp.int32(B)
