@@ -73,3 +73,30 @@ def test_keylen17_end_to_end(tmp_path):
     report = json.loads((tmp_path / "report.json").read_text())
     assert "Duplication" in report
     assert report["Duplication"]["Rate"] >= 0.0
+
+
+def test_pack_kmer32_matches_rolling16():
+    """The u16 8-base-window kmer32 extraction (round 5) must agree with
+    the u32 16-base rolling reference formulation on random data with N's
+    and short reads."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fqtool_tpu.ops.common import seq2int_codes
+    from fqtool_tpu.ops.dup import _pack_2bit, _pack_kmer32
+
+    rng = np.random.default_rng(56)
+    B, L = 96, 152
+    seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8),
+                     (B, L), p=[0.24, 0.24, 0.24, 0.24, 0.04]).astype(np.uint8)
+    rlen = rng.integers(0, L + 1, B).astype(np.int32)
+    seq = np.where(np.arange(L)[None, :] < rlen[:, None], seq, 0).astype(np.uint8)
+    codes = seq2int_codes(jnp.asarray(seq))
+    start = jnp.maximum(0, jnp.asarray(rlen) - 37)
+    hi_r, hi_ok_r = _pack_2bit(codes, start, 16)
+    lo_r, lo_ok_r = _pack_2bit(codes, start + 16, 16)
+    hi, hi_ok, lo, lo_ok = _pack_kmer32(codes, start)
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(hi_r))
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(lo_r))
+    np.testing.assert_array_equal(np.asarray(hi_ok), np.asarray(hi_ok_r))
+    np.testing.assert_array_equal(np.asarray(lo_ok), np.asarray(lo_ok_r))
